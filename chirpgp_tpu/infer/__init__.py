@@ -1,0 +1,15 @@
+"""Inference engine: sequential and parallel-in-time Gaussian filters and
+smoothers."""
+
+from chirpgp_tpu.infer.filters import (
+    kf, ekf, ekf_for_kpt, sgp_filter, cd_ekf, cd_sgp_filter)
+from chirpgp_tpu.infer.smoothers import (
+    rts, eks, sgp_smoother, cd_eks, cd_sgp_smoother)
+from chirpgp_tpu.infer.parallel_kf import (
+    kf_parallel, rts_parallel, kf_rts_parallel)
+
+__all__ = [
+    "kf", "ekf", "ekf_for_kpt", "sgp_filter", "cd_ekf", "cd_sgp_filter",
+    "rts", "eks", "sgp_smoother", "cd_eks", "cd_sgp_smoother",
+    "kf_parallel", "rts_parallel", "kf_rts_parallel",
+]

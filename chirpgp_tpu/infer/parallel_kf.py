@@ -1,0 +1,155 @@
+"""Parallel-in-time Kalman filtering and RTS smoothing via
+``jax.lax.associative_scan``.
+
+The reference's filters are O(T) sequential ``lax.scan`` loops
+(``chirpgp/filters_smoothers.py:183,263,489``) -- on TPU every step is a
+tiny-matrix op, so a long sequence leaves the chip idle.  Here the LGSSM
+filter/smoother is reformulated as an associative prefix operation over
+conditional-Gaussian elements (Sarkka & Garcia-Fernandez 2021, *Temporal
+parallelization of Bayesian smoothers*; see PAPERS.md), giving O(log T)
+depth with all element combinations running as batched (T, d, d) einsums on
+the MXU.
+
+This is the framework's sequence-parallel path: for very long records the
+time axis can additionally be sharded over a device mesh (the SSM analog of
+context parallelism).
+"""
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from chirpgp_tpu.infer.common import log_normal_pdf
+
+__all__ = ["kf_parallel", "rts_parallel", "kf_rts_parallel"]
+
+
+class _FilterElement(NamedTuple):
+    A: jnp.ndarray   # (T, d, d)
+    b: jnp.ndarray   # (T, d)
+    C: jnp.ndarray   # (T, d, d)
+    eta: jnp.ndarray  # (T, d)
+    J: jnp.ndarray   # (T, d, d)
+
+
+def _combine_filter(a: _FilterElement, b: _FilterElement) -> _FilterElement:
+    """Associative combination of filtering elements (batched on axis 0)."""
+    d = a.A.shape[-1]
+    I = jnp.eye(d, dtype=a.A.dtype)
+    # M = (I + C_a J_b)^{-1}; solve against the transposed system to avoid
+    # explicit inverses.
+    M = jnp.linalg.solve(I + a.C @ b.J, jnp.broadcast_to(I, a.C.shape))
+    AjM = b.A @ M
+    A = AjM @ a.A
+    bb = (AjM @ (a.b + jnp.einsum("...ij,...j->...i", a.C, b.eta))[..., None]
+          )[..., 0] + b.b
+    C = AjM @ a.C @ jnp.swapaxes(b.A, -1, -2) + b.C
+    N = jnp.linalg.solve(I + b.J @ a.C, jnp.broadcast_to(I, a.C.shape))
+    AiTN = jnp.swapaxes(a.A, -1, -2) @ N
+    eta = (AiTN @ (b.eta - jnp.einsum("...ij,...j->...i", b.J, a.b))[..., None]
+           )[..., 0] + a.eta
+    J = AiTN @ b.J @ a.A + a.J
+    return _FilterElement(A, bb, C, eta, J)
+
+
+def _filter_elements(F, Sigma, H, Xi, m0, P0, ys) -> _FilterElement:
+    """Per-step conditional-Gaussian elements for a time-invariant LGSSM."""
+    T = ys.shape[0]
+    d = m0.shape[0]
+    dtype = m0.dtype
+    I = jnp.eye(d, dtype=dtype)
+
+    # Generic element (k >= 2): built from (F, Sigma, H, Xi, y_k).
+    S = H @ Sigma @ H + Xi                        # scalar
+    K = Sigma @ H / S                             # (d,)
+    A_g = (I - jnp.outer(K, H)) @ F
+    C_g = (I - jnp.outer(K, H)) @ Sigma
+    FTH = F.T @ H                                 # (d,)
+    J_g = jnp.outer(FTH, FTH) / S
+
+    A = jnp.broadcast_to(A_g, (T, d, d))
+    b = ys[:, None] * K[None, :]                  # K y_k
+    C = jnp.broadcast_to(C_g, (T, d, d))
+    eta = ys[:, None] * (FTH / S)[None, :]
+    J = jnp.broadcast_to(J_g, (T, d, d))
+
+    # First element absorbs the prior: predict from (m0, P0) then update.
+    m1p = F @ m0
+    P1p = F @ P0 @ F.T + Sigma
+    S1 = H @ P1p @ H + Xi
+    K1 = P1p @ H / S1
+    b1 = m1p + K1 * (ys[0] - H @ m1p)
+    C1 = P1p - jnp.outer(K1, K1) * S1
+
+    A = A.at[0].set(jnp.zeros((d, d), dtype))
+    b = b.at[0].set(b1)
+    C = C.at[0].set(C1)
+    eta = eta.at[0].set(jnp.zeros((d,), dtype))
+    J = J.at[0].set(jnp.zeros((d, d), dtype))
+    return _FilterElement(A, b, C, eta, J)
+
+
+def kf_parallel(F, Sigma, H, Xi, m0, P0, ys) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Parallel-in-time Kalman filter; same contract as
+    :func:`chirpgp_tpu.infer.filters.kf` (means, covariances, cumulative
+    NLL)."""
+    elems = _filter_elements(F, Sigma, H, Xi, m0, P0, ys)
+    scanned = jax.lax.associative_scan(_combine_filter, elems)
+    mfs, Pfs = scanned.b, scanned.C
+
+    # NLL from one batched predicted-moment pass (no sequential dependency).
+    prev_m = jnp.concatenate([m0[None], mfs[:-1]], axis=0)        # (T, d)
+    prev_P = jnp.concatenate([P0[None], Pfs[:-1]], axis=0)        # (T, d, d)
+    mp = jnp.einsum("ij,tj->ti", F, prev_m)
+    Pp = jnp.einsum("ij,tjk,lk->til", F, prev_P, F) + Sigma
+    S = jnp.einsum("i,tij,j->t", H, Pp, H) + Xi
+    pred = mp @ H
+    nll = -log_normal_pdf(ys, pred, S)
+    return mfs, Pfs, jnp.cumsum(nll)
+
+
+class _SmootherElement(NamedTuple):
+    E: jnp.ndarray   # (T-1, d, d)
+    g: jnp.ndarray   # (T-1, d)
+    L: jnp.ndarray   # (T-1, d, d)
+
+
+def _combine_smoother(a: _SmootherElement, b: _SmootherElement) -> _SmootherElement:
+    """Composition of affine-Gaussian backward maps.
+
+    Under ``associative_scan(..., reverse=True)`` the first operand ``a`` is
+    the suffix aggregate (later time steps) and ``b`` the newly absorbed
+    earlier element, so the result is ``f_b \\circ f_a``.
+    """
+    E = b.E @ a.E
+    g = jnp.einsum("...ij,...j->...i", b.E, a.g) + b.g
+    L = b.E @ a.L @ jnp.swapaxes(b.E, -1, -2) + b.L
+    return _SmootherElement(E, g, L)
+
+
+def rts_parallel(F, Sigma, mfs, Pfs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Parallel-in-time RTS smoother; same contract as
+    :func:`chirpgp_tpu.infer.smoothers.rts`."""
+    Pf = Pfs[:-1]                                  # (T-1, d, d)
+    mf = mfs[:-1]
+    Pp = jnp.einsum("ij,tjk,lk->til", F, Pf, F) + Sigma
+    # Gain E = Pf F^T Pp^{-1}, solved batched: E^T = Pp^{-1} F Pf.
+    ET = jnp.linalg.solve(Pp, jnp.einsum("ij,tjk->tik", F, Pf))
+    E = jnp.swapaxes(ET, -1, -2)
+    g = mf - jnp.einsum("tij,jk,tk->ti", E, F, mf)
+    L = Pf - E @ Pp @ jnp.swapaxes(E, -1, -2)
+
+    elems = _SmootherElement(E, g, L)
+    scanned = jax.lax.associative_scan(_combine_smoother, elems, reverse=True)
+    mss = jnp.einsum("tij,j->ti", scanned.E, mfs[-1]) + scanned.g
+    Pss = scanned.E @ Pfs[-1] @ jnp.swapaxes(scanned.E, -1, -2) + scanned.L
+    return jnp.concatenate([mss, mfs[-1][None]]), \
+        jnp.concatenate([Pss, Pfs[-1][None]])
+
+
+def kf_rts_parallel(F, Sigma, H, Xi, m0, P0, ys):
+    """Fused parallel filter + smoother pass."""
+    mfs, Pfs, nll = kf_parallel(F, Sigma, H, Xi, m0, P0, ys)
+    mss, Pss = rts_parallel(F, Sigma, mfs, Pfs)
+    return mfs, Pfs, nll, mss, Pss
