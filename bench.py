@@ -1,0 +1,92 @@
+"""Benchmark harness: filter+smoother throughput on the canonical chirp
+config (T=3141, d=4, Gauss-Hermite order 3 -- ``demos/ghfs_mle.py:20-34``).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Measurement: a batch of B independent Monte-Carlo seeds runs the full GHFS
+filter + smoother, vmapped and jitted, in float32 on one chip.  The metric
+is total (filter+smoother) time-steps processed per second per chip.
+
+Baseline (vs_baseline denominator): 32,772 steps/sec -- a faithful
+reference-style implementation (per-sigma-point ``block_diag`` transition
+construction, raw-moment covariance reduction, sequential seeds; the shape
+of ``chirpgp/filters_smoothers.py:446-531`` + ``chirpgp/models.py:264-311``)
+measured on this host's CPU in float64, the reference's actual operating
+point (it is CPU/f64-only and loops seeds in Python:
+``tetralith/jobs/ghfs_mle.py:26-87``).
+"""
+
+import json
+import math
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_BASELINE_STEPS_PER_SEC = 32772.0
+
+DT = 1e-3
+T = 3141
+XI = 0.1
+BATCH = 256
+REPEATS = 5
+
+
+def main():
+    from chirpgp_tpu.apps import IFEstimationConfig, estimate_if
+    from chirpgp_tpu.models import g
+    from chirpgp_tpu.toymodels import gen_chirp, constant_mag, meow_freq
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    ts = jnp.linspace(DT, DT * T, T, dtype=jnp.float32)
+    _, phase_func = meow_freq(offset=8.0)
+    base = gen_chirp(ts, constant_mag(1.0), phase_func)
+    keys = jax.random.split(jax.random.PRNGKey(999), BATCH)
+    yss = base[None, :] + math.sqrt(XI) * jax.vmap(
+        lambda k: jax.random.normal(k, (T,), dtype=jnp.float32))(keys)
+
+    # sqrt form: the float32-safe production path (QR-triangularized
+    # predict/update/smooth; the covariance form needs float64, which TPUs
+    # do not have).
+    cfg = IFEstimationConfig(method="ghfs", form="sqrt")
+    params = g(cfg.default_init_theta()).astype(jnp.float32)
+
+    def one_seed(ys):
+        est = estimate_if(cfg, params, ys)
+        return est["if_mean"], est["nell"][-1]
+
+    fn = jax.jit(jax.vmap(one_seed))
+
+    # Warm-up / compile
+    if_means, nlls = fn(yss)
+    jax.block_until_ready(if_means)
+    if not bool(jnp.all(jnp.isfinite(if_means))):
+        print("WARNING: non-finite IF means in f32 benchmark run",
+              file=sys.stderr)
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        if_means, nlls = fn(yss)
+        jax.block_until_ready(if_means)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    steps_per_sec = BATCH * T / best
+    print(f"batch={BATCH} T={T} best={best:.4f}s "
+          f"times={[f'{t:.4f}' for t in times]}", file=sys.stderr)
+
+    result = {
+        "metric": "ghfs_filter_smoother_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 1),
+        "unit": "steps/sec/chip (batch=256 seeds, T=3141, d=4, GH-3, f32)",
+        "vs_baseline": round(steps_per_sec / REFERENCE_BASELINE_STEPS_PER_SEC, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,9 @@
+"""Baseline IF estimators: classical signal-processing methods (JAX-native)
+and the KPT Kalman pitch tracker (see ``chirpgp_tpu.models.kpt``)."""
+
+from chirpgp_tpu.baselines.classical import (
+    hilbert_transform, hilbert_method, mean_power_spectrum,
+    mle_polynomial, adaptive_notch_filter, tukey_window)
+
+__all__ = ["hilbert_transform", "hilbert_method", "mean_power_spectrum",
+           "mle_polynomial", "adaptive_notch_filter", "tukey_window"]

@@ -7,9 +7,13 @@ from chirpgp_tpu.infer.smoothers import (
     rts, eks, sgp_smoother, cd_eks, cd_sgp_smoother)
 from chirpgp_tpu.infer.parallel_kf import (
     kf_parallel, rts_parallel, kf_rts_parallel)
+from chirpgp_tpu.infer.sqrt import (
+    sqrt_kf, sqrt_ekf, sqrt_eks, sqrt_sgp_filter, sqrt_sgp_smoother, tria)
 
 __all__ = [
     "kf", "ekf", "ekf_for_kpt", "sgp_filter", "cd_ekf", "cd_sgp_filter",
     "rts", "eks", "sgp_smoother", "cd_eks", "cd_sgp_smoother",
     "kf_parallel", "rts_parallel", "kf_rts_parallel",
+    "sqrt_kf", "sqrt_ekf", "sqrt_eks", "sqrt_sgp_filter",
+    "sqrt_sgp_smoother", "tria",
 ]

@@ -83,7 +83,8 @@ class SigmaPoints(NamedTuple):
         ``chol_of_P`` of shape ``(..., d, d)`` give ``(..., S, d)``.
         """
         # (..., d, d) @ (S, d)^T contracted on the last axis of xi.
-        chi = jnp.einsum("...ij,sj->...si", chol_of_P, self.xi)
+        xi = self.xi.astype(chol_of_P.dtype)
+        chi = jnp.einsum("...ij,sj->...si", chol_of_P, xi)
         return m[..., None, :] + chi
 
     def expectation(self, evals: jnp.ndarray) -> jnp.ndarray:
@@ -96,12 +97,13 @@ class SigmaPoints(NamedTuple):
         version assumes the sigma axis is axis ``-(evals.ndim - w_axis)``
         matching the reference contract ``(S, ...)``.
         """
-        return jnp.einsum("i,i...->...", self.w, evals)
+        return jnp.einsum("i,i...->...", self.w.astype(evals.dtype), evals)
 
     def expectation_from_nodes(self, v_f, chi: jnp.ndarray) -> jnp.ndarray:
         """Reference-parity helper: weighted mean of ``v_f(chi)`` with the
         sigma axis leading (``chirpgp/quadratures.py:203``)."""
-        return jnp.einsum("i,i...->...", self.w, v_f(chi))
+        evals = v_f(chi)
+        return jnp.einsum("i,i...->...", self.w.astype(evals.dtype), evals)
 
     def mean_and_cov(self, evals: jnp.ndarray):
         """Weighted mean and covariance of propagated points.
@@ -115,9 +117,10 @@ class SigmaPoints(NamedTuple):
         -------
         mean (..., d), cov (..., d, d)
         """
-        mean = jnp.einsum("s,...sd->...d", self.w, evals)
+        mean = jnp.einsum("s,...sd->...d", self.w.astype(evals.dtype), evals)
         dev = evals - mean[..., None, :]
-        cov = jnp.einsum("s,...si,...sj->...ij", self.w_cov, dev, dev)
+        cov = jnp.einsum("s,...si,...sj->...ij",
+                         self.w_cov.astype(evals.dtype), dev, dev)
         return mean, cov
 
     def cross_cov(self, evals_a: jnp.ndarray, evals_b: jnp.ndarray,
@@ -128,7 +131,8 @@ class SigmaPoints(NamedTuple):
         """
         dev_a = evals_a - mean_a[..., None, :]
         dev_b = evals_b - mean_b[..., None, :]
-        return jnp.einsum("s,...si,...sj->...ij", self.w_cov, dev_a, dev_b)
+        return jnp.einsum("s,...si,...sj->...ij",
+                          self.w_cov.astype(dev_a.dtype), dev_a, dev_b)
 
 
 def cubature(d: int) -> SigmaPoints:

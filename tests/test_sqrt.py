@@ -1,0 +1,115 @@
+"""Square-root filter/smoother tests: exact equivalence with the
+covariance forms in float64, and stability on the canonical chirp config
+in float32 (where the covariance-form smoother is known to lose PSD)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy.testing as npt
+import pytest
+
+from chirpgp_tpu.infer import (
+    kf, rts, ekf, eks, sgp_filter, sgp_smoother,
+    sqrt_kf, sqrt_ekf, sqrt_eks, sqrt_sgp_filter, sqrt_sgp_smoother)
+from chirpgp_tpu.models import (
+    g, g_inv, build_chirp_model, m32_solution, stationary_cov_m32, disc_m32)
+from chirpgp_tpu.quad import cubature, gauss_hermite
+from chirpgp_tpu.utils import simulate_lgssm
+
+ELL, SIGMA, DT, XI, T = 0.7, 1.2, 0.01, 0.05, 150
+
+
+def _lgssm_data():
+    F, Sigma = m32_solution(ELL, SIGMA, DT)
+    H = jnp.array([1.0, 0.0])
+    m0 = jnp.zeros(2)
+    P0 = stationary_cov_m32(ELL, SIGMA)
+    key = jax.random.PRNGKey(42)
+    xs = simulate_lgssm(F, Sigma, m0, T, key)
+    key, sub = jax.random.split(key)
+    ys = xs @ H + math.sqrt(XI) * jax.random.normal(sub, (T,))
+    return F, Sigma, H, m0, P0, ys
+
+
+def _covs(Ls):
+    return Ls @ jnp.swapaxes(Ls, -1, -2)
+
+
+def test_sqrt_kf_matches_kf():
+    F, Sigma, H, m0, P0, ys = _lgssm_data()
+    mfs, Pfs, nell = kf(F, Sigma, H, XI, m0, P0, ys)
+    mfs2, Lfs, nell2 = sqrt_kf(F, Sigma, H, XI, m0, P0, ys)
+    npt.assert_allclose(mfs2, mfs, rtol=1e-8, atol=1e-11)
+    npt.assert_allclose(_covs(Lfs), Pfs, rtol=1e-8, atol=1e-12)
+    npt.assert_allclose(nell2, nell, rtol=1e-9)
+
+
+def test_sqrt_sgp_matches_cov_form():
+    _, _, H, m0, P0, ys = _lgssm_data()
+    trans = disc_m32(ELL, SIGMA)
+    rule = gauss_hermite(2, order=3)
+    mfs, Pfs, nell = sgp_filter(trans, rule, H, XI, m0, P0, DT, ys)
+    mfs2, Lfs, nell2 = sqrt_sgp_filter(trans, rule, H, XI, m0, P0, DT, ys)
+    npt.assert_allclose(mfs2, mfs, rtol=1e-7, atol=1e-10)
+    npt.assert_allclose(_covs(Lfs), Pfs, rtol=1e-7, atol=1e-11)
+    npt.assert_allclose(nell2, nell, rtol=1e-8)
+
+    mss, Pss = sgp_smoother(trans, rule, mfs, Pfs, DT)
+    mss2, Lss = sqrt_sgp_smoother(trans, rule, mfs2, Lfs, DT)
+    npt.assert_allclose(mss2, mss, rtol=1e-6, atol=1e-9)
+    npt.assert_allclose(_covs(Lss), Pss, rtol=1e-6, atol=1e-10)
+
+
+def test_sqrt_ekf_eks_match_cov_form():
+    _, _, H, m0, P0, ys = _lgssm_data()
+    trans = disc_m32(ELL, SIGMA)
+    mfs, Pfs, nell = ekf(trans, H, XI, m0, P0, DT, ys)
+    mfs2, Lfs, nell2 = sqrt_ekf(trans, H, XI, m0, P0, DT, ys)
+    npt.assert_allclose(mfs2, mfs, rtol=1e-8, atol=1e-11)
+    npt.assert_allclose(_covs(Lfs), Pfs, rtol=1e-7, atol=1e-12)
+    npt.assert_allclose(nell2, nell, rtol=1e-8)
+
+    mss, Pss = eks(trans, mfs, Pfs, DT)
+    mss2, Lss = sqrt_eks(trans, mfs2, Lfs, DT)
+    npt.assert_allclose(mss2, mss, rtol=1e-6, atol=1e-9)
+    npt.assert_allclose(_covs(Lss), Pss, rtol=1e-6, atol=1e-10)
+
+
+def test_sqrt_chirp_f32_stays_finite():
+    """The float32 sqrt pipeline stays finite on the canonical chirp config
+    where the covariance-form smoother produces negative variances (this is
+    the TPU production path; here exercised with CPU float32 inputs)."""
+    from chirpgp_tpu.toymodels import gen_chirp, constant_mag, meow_freq
+
+    dt, T_, Xi = 1e-3, 3141, 0.1
+    ts = jnp.linspace(dt, dt * T_, T_).astype(jnp.float32)
+    _, phase = meow_freq(offset=8.0)
+    key = jax.random.PRNGKey(999)
+    ys = (gen_chirp(ts, constant_mag(1.0), phase)
+          + math.sqrt(Xi) * jax.random.normal(key, (T_,))).astype(jnp.float32)
+
+    params = g(g_inv(jnp.array([0.1, 0.1, 0.1, 1.0, 1.0, 7.0]))).astype(
+        jnp.float32)
+    pack = build_chirp_model(params)
+    rule = gauss_hermite(4, order=3)
+    mfs, Lfs, nell = sqrt_sgp_filter(
+        pack.m_and_cov, rule, pack.H.astype(jnp.float32), jnp.float32(Xi),
+        pack.m0.astype(jnp.float32),
+        pack.P0.astype(jnp.float32), jnp.float32(dt), ys)
+    assert mfs.dtype == jnp.float32
+    mss, Lss = sqrt_sgp_smoother(pack.m_and_cov, rule, mfs, Lfs,
+                                 jnp.float32(dt))
+    assert bool(jnp.all(jnp.isfinite(mss)))
+    vars_v = jnp.sum(Lss[:, 2, :] ** 2, axis=-1)
+    assert bool(jnp.all(vars_v > 0))
+
+
+def test_m32_sigma_f32_accuracy():
+    """The float32 Matern-3/2 noise covariance agrees with the float64
+    closed form to fine relative accuracy (regression test for the
+    catastrophic-cancellation fix in ``_sigma11_factor``)."""
+    _, S64 = m32_solution(1.0, 1.0, 1e-3)
+    _, S32 = m32_solution(jnp.float32(1.0), jnp.float32(1.0),
+                          jnp.float32(1e-3))
+    npt.assert_allclose(jnp.asarray(S32, jnp.float64), S64, rtol=1e-5)

@@ -58,7 +58,7 @@ def test_simulate_sde_matches_lgssm_on_linear():
     trajs = jax.vmap(
         lambda k: simulate_sde(trans, jnp.zeros(2), P0, dt, T, k))(keys)
     mc_cov = jnp.einsum("ni,nj->ij", trajs[:, -1], trajs[:, -1]) / N
-    npt.assert_allclose(mc_cov, P0, rtol=7e-2)
+    npt.assert_allclose(mc_cov, P0, rtol=7e-2, atol=5e-2)
 
 
 def test_fwd_transformed_pdf_chi_square():
