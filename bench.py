@@ -25,6 +25,12 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache: first-ever compile of the batched QR-in-scan
+# program takes minutes on the remote-compile TPU path; subsequent bench
+# runs (e.g. the driver's end-of-round run) hit this cache.
+jax.config.update("jax_compilation_cache_dir", "/tmp/chirpgp_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REFERENCE_BASELINE_STEPS_PER_SEC = 32772.0
 
 DT = 1e-3

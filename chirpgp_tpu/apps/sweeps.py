@@ -1,0 +1,162 @@
+"""Monte-Carlo experiment sweeps: the RMSE-table and CRLB jobs.
+
+Reproduces the reference's tetralith experiment contract
+(``tetralith/jobs/*_mle.py``) TPU-natively:
+
+- **Pregenerated-key pairing**: 1000 keys from ``PRNGKey(999)``
+  (``tetralith/generate_rndkeys.py:8-12``) so every method sees the same
+  measurement realizations -- the basis of the paper's paired Table I.
+- **NaN-on-divergence**: runs whose optimizer fails are recorded as NaN
+  rather than crashing the sweep (``tetralith/jobs/ghfs_mle.py:78-81``).
+- **Scale-out**: instead of a sequential Python loop per seed
+  (``jobs/ghfs_mle.py:61``), seeds are vmapped per device and sharded over
+  the mesh with ``shard_map`` -- same program from 1 chip to a pod.
+- **Idempotent .npz results** per (method, magnitude) with
+  ``rmses`` + learnt params, consumed by :func:`print_rmse_table`.
+"""
+
+import json
+import math
+import os
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chirpgp_tpu.apps.pipeline import IFEstimationConfig, make_nll_fn, _filter_fns
+from chirpgp_tpu.fit.mle import lbfgs_minimize
+from chirpgp_tpu.models import g
+from chirpgp_tpu.quad import gaussian_expectation_1d
+from chirpgp_tpu.toymodels import (
+    gen_chirp, gen_harmonic_chirp, constant_mag, damped_exp_mag,
+    random_ou_mag, meow_freq)
+from chirpgp_tpu.utils import rmse
+
+__all__ = ["generate_rnd_keys", "toymodel_measurements", "mc_mle_sweep",
+           "print_rmse_table", "MAGNITUDES"]
+
+
+def generate_rnd_keys(num: int = 1000, seed: int = 999) -> jnp.ndarray:
+    """The reference's pregenerated random keys
+    (``tetralith/generate_rndkeys.py:8-12``)."""
+    return jax.random.split(jax.random.PRNGKey(seed), num)
+
+
+# The three magnitude scenarios of the paper's Table I
+# (``demos/ghfs_mle.py:37-39``).
+MAGNITUDES = ("const", "damped", "random")
+
+
+def _magnitude(name: str, key):
+    if name == "const":
+        return constant_mag(1.0)
+    if name == "damped":
+        return damped_exp_mag(0.3)
+    if name == "random":
+        return random_ou_mag(1.0, 1.0, key)
+    raise ValueError(f"Unknown magnitude {name!r}")
+
+
+def toymodel_measurements(key, mag_name: str, dt: float = 1e-3,
+                          T: int = 3141, Xi: float = 0.1,
+                          num_harmonics: int = 1):
+    """One seed's toymodel data: (ts, true_freqs, ys).
+
+    Mirrors the job setup of ``tetralith/jobs/ghfs_mle.py:26-47``: times
+    ``dt..T*dt``, meow IF with offset 8, chirp + N(0, Xi) noise.  Each key
+    is split exactly once: first for the measurement noise, second for the
+    OU magnitude (when used).
+    """
+    ts = jnp.linspace(dt, dt * T, T)
+    freq_func, phase_func = meow_freq(offset=8.0)
+    key_noise, key_mag = jax.random.split(key)
+    mag = _magnitude(mag_name, key_mag)
+    if num_harmonics == 1:
+        chirp = gen_chirp(ts, mag, phase_func)
+    else:
+        mags = [mag] + [constant_mag(1.0 / (k + 1))
+                        for k in range(1, num_harmonics)]
+        chirp = gen_harmonic_chirp(ts, mags, phase_func)
+    ys = chirp + math.sqrt(Xi) * jax.random.normal(key_noise, (T,))
+    return ts, freq_func(ts), ys
+
+
+def mc_mle_sweep(cfg: IFEstimationConfig, keys: jnp.ndarray, mag_name: str,
+                 T: int = 3141, mesh=None,
+                 init_theta: Optional[jnp.ndarray] = None) -> Dict[str, np.ndarray]:
+    """Run MLE + filter + smooth + IF-RMSE for every seed, sharded over
+    the mesh.  Returns host arrays: rmses (N,), learnt params (N, P),
+    success flags (N,).
+
+    Divergent runs contribute NaN rmse (reference semantics).
+    """
+    if init_theta is None:
+        init_theta = cfg.default_init_theta()
+    flt, smt = _filter_fns(cfg)
+    v_idx = -2 if cfg.model == "harmonic" else 2
+
+    def per_seed(key):
+        ts, true_freqs, ys = toymodel_measurements(
+            key, mag_name, dt=cfg.dt, T=T, Xi=cfg.Xi,
+            num_harmonics=cfg.num_harmonics if cfg.model == "harmonic" else 1)
+        nll = make_nll_fn(cfg, ys)
+        opt = lbfgs_minimize(nll, init_theta, max_iters=cfg.max_iters,
+                             jit=False)
+        params = g(opt.params)
+        pack = cfg.build(params)
+        mfs, Pfs, _ = flt(pack, ys)
+        mss, Pss = smt(pack, mfs, Pfs)
+        v_mean = mss[:, v_idx]
+        if cfg.form == "sqrt":
+            v_std = jnp.linalg.norm(Pss[:, v_idx, :], axis=-1)
+        else:
+            v_std = jnp.sqrt(Pss[:, v_idx, v_idx])
+        if_mean = gaussian_expectation_1d(
+            v_mean, v_std, order=cfg.expectation_order) * cfg.freq_scale
+        err = rmse(true_freqs, if_mean)
+        err = jnp.where(opt.success, err, jnp.nan)
+        return dict(rmse=err, params=params, success=opt.success)
+
+    if mesh is not None:
+        from chirpgp_tpu.parallel import sharded_seed_sweep
+        out = sharded_seed_sweep(per_seed, keys, mesh)
+    else:
+        out = jax.jit(jax.vmap(per_seed))(keys)
+    return {k: np.asarray(v) for k, v in jax.device_get(out).items()}
+
+
+def save_results(results: Dict[str, np.ndarray], method: str,
+                 mag_name: str, out_dir: str = "./results"):
+    """Write the reference-compatible result file
+    ``{method}_{mag}.npz`` (cf. ``jobs/ghfs_mle.py:83-84``)."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"{method}_{mag_name}.npz")
+    np.savez(path, **results)
+    return path
+
+
+def print_rmse_table(results_by_method: Dict[str, Dict[str, np.ndarray]],
+                     scale: float = 10.0) -> str:
+    """Aggregate per-method RMSE statistics like the reference table
+    printer (``paper_plots_tables/print_rmse_table.py:14-56``): scaled
+    mean +- std / median / min and the NaN (divergence) count."""
+    lines = [f"{'method':24s} {'mag':8s} {'mean+-std':>20s} "
+             f"{'median':>9s} {'min':>9s} {'#nan':>5s}"]
+    for method, by_mag in results_by_method.items():
+        for mag_name, res in by_mag.items():
+            r = np.asarray(res["rmse"]) * scale
+            nan_count = int(np.sum(np.isnan(r)))
+            ok = r[~np.isnan(r)]
+            if ok.size:
+                lines.append(
+                    f"{method:24s} {mag_name:8s} "
+                    f"{np.mean(ok):9.3f}+-{np.std(ok):8.3f} "
+                    f"{np.median(ok):9.3f} {np.min(ok):9.3f} {nan_count:5d}")
+            else:
+                lines.append(f"{method:24s} {mag_name:8s} {'all-NaN':>20s} "
+                             f"{'--':>9s} {'--':>9s} {nan_count:5d}")
+    table = "\n".join(lines)
+    print(table)
+    return table

@@ -140,21 +140,43 @@ def adaptive_notch_filter(ts: jnp.ndarray, ys: jnp.ndarray,
                           gamma_w: float) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pilot adaptive notch filter of Niedzwiecki & Meller 2011, Table II
     (reference ``classical_methods.py:196-254``).  ``ys`` is the complex
-    chirp envelope; parameters should satisfy
-    ``gamma_alpha << gamma_w << mu < 1``."""
+    chirp envelope, either as a complex array or as a real ``(T, 2)``
+    array of (real, imag) -- the TPU-friendly form (the TPU backend has no
+    complex arithmetic, so the recursion is carried in real pairs either
+    way).  Parameters should satisfy ``gamma_alpha << gamma_w << mu < 1``.
+    """
     dt = ts[1] - ts[0]
 
+    complex_in = jnp.iscomplexobj(ys)
+    if complex_in:
+        y_pairs = jnp.stack([jnp.real(ys), jnp.imag(ys)], axis=-1)
+    else:
+        y_pairs = ys
+    s0 = complex(s0)
+
     def step(carry, y):
-        w, alpha, s = carry
-        rot = jnp.exp(2.0 * math.pi * (w + alpha) * 1.0j)
-        eps = y - rot * s
-        delta = jnp.imag(eps * jnp.conj(rot) * jnp.conjugate(s)) \
-            / jnp.abs(s) ** 2
-        s = rot * s + mu * eps
+        w, alpha, sr, si = carry
+        theta = 2.0 * math.pi * (w + alpha)
+        c, sn = jnp.cos(theta), jnp.sin(theta)
+        # rot * s
+        a = c * sr - sn * si
+        b = sn * sr + c * si
+        er = y[0] - a
+        ei = y[1] - b
+        # Im(eps * conj(rot) * conj(s)) = Im((er + i ei)(a - i b))
+        delta = (ei * a - er * b) / (sr ** 2 + si ** 2)
+        sr_new = a + mu * er
+        si_new = b + mu * ei
         w = w + alpha + gamma_w * delta
         alpha = alpha + gamma_alpha * delta
-        return (w, alpha, s), (w, alpha, s)
+        return (w, alpha, sr_new, si_new), (w, alpha, sr_new, si_new)
 
-    init = (w0 * dt, alpha0 * dt, jnp.asarray(s0))
-    _, (freqs, alphas, mags) = jax.lax.scan(step, init, ys)
+    init = (jnp.asarray(w0 * dt), jnp.asarray(alpha0 * dt),
+            jnp.asarray(s0.real, y_pairs.dtype),
+            jnp.asarray(s0.imag, y_pairs.dtype))
+    _, (freqs, alphas, srs, sis) = jax.lax.scan(step, init, y_pairs)
+    if complex_in:
+        mags = srs + 1.0j * sis
+    else:
+        mags = jnp.stack([srs, sis], axis=-1)
     return freqs / dt, alphas / dt, mags

@@ -9,6 +9,9 @@ from chirpgp_tpu.infer.parallel_kf import (
     kf_parallel, rts_parallel, kf_rts_parallel)
 from chirpgp_tpu.infer.sqrt import (
     sqrt_kf, sqrt_ekf, sqrt_eks, sqrt_sgp_filter, sqrt_sgp_smoother, tria)
+from chirpgp_tpu.infer.nuts import nuts_sample, nuts_sample_sharded, NUTSResult
+from chirpgp_tpu.infer.smc import (
+    bootstrap_filter, systematic_resample, effective_sample_size)
 
 __all__ = [
     "kf", "ekf", "ekf_for_kpt", "sgp_filter", "cd_ekf", "cd_sgp_filter",
@@ -16,4 +19,6 @@ __all__ = [
     "kf_parallel", "rts_parallel", "kf_rts_parallel",
     "sqrt_kf", "sqrt_ekf", "sqrt_eks", "sqrt_sgp_filter",
     "sqrt_sgp_smoother", "tria",
+    "nuts_sample", "nuts_sample_sharded", "NUTSResult",
+    "bootstrap_filter", "systematic_resample", "effective_sample_size",
 ]

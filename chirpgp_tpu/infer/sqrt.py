@@ -55,12 +55,36 @@ def _require_nonneg_weights(sgps: SigmaPoints, where: str):
             "unscented(d, kappa=0)).")
 
 
-def tria(M: jnp.ndarray) -> jnp.ndarray:
-    """Upper-triangular factor R of ``M = QR``; ``R^T R = M^T M``.
+def tria(M: jnp.ndarray, method: str = "qr") -> jnp.ndarray:
+    """Upper-triangular factor R with ``R^T R = M^T M`` for tall ``M``
+    of shape (..., n, d).
 
-    ``M`` has shape (..., n, d) with n >= d; returns (..., d, d).
+    Two backends:
+
+    - ``"qr"`` (default): Householder QR on the deviation stack.  Robust in
+      float32 even when the triangularized matrix is ill-conditioned (the
+      smoother's joint pre-array routinely is: the conditional covariance
+      is a tiny Schur complement of O(1) blocks).
+    - ``"chol"``: ``R = chol(M^T M)^T`` with column equilibration -- one
+      MXU-friendly batched matmul plus a tiny Cholesky, much cheaper than
+      Householder QR on TPU, but the Gram squares the condition number:
+      float32 breaks on the chirp smoother (empirically; the f32 finiteness
+      test fails), so use it only in float64 or for well-conditioned
+      pre-arrays.
     """
-    return jnp.linalg.qr(M, mode="r")
+    if method == "qr":
+        return jnp.linalg.qr(M, mode="r")
+    # Column equilibration: the chirp models mix columns spanning ~6 orders
+    # of magnitude (position noise ~dt^3 vs O(1) states); forming the raw
+    # Gram in float32 loses the small columns entirely.  Scale columns to
+    # unit norm first -- chol(D A D) = D chol(A) for diagonal D, so the
+    # factor is recovered exactly.
+    c = jnp.sqrt(jnp.sum(M * M, axis=-2, keepdims=True))      # (..., 1, d)
+    c = jnp.where(c > 0, c, 1.0)
+    Mh = M / c
+    gram = jnp.einsum("...nd,...ne->...de", Mh, Mh)
+    L = jnp.linalg.cholesky(gram)                              # unit-ish diag
+    return jnp.swapaxes(L, -1, -2) * c
 
 
 def _chol_to_lower(R: jnp.ndarray) -> jnp.ndarray:
@@ -69,7 +93,8 @@ def _chol_to_lower(R: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sqrt_predict_sgp(sgps: SigmaPoints, trans: Transition, dt,
-                      mf: jnp.ndarray, Lf: jnp.ndarray):
+                      mf: jnp.ndarray, Lf: jnp.ndarray,
+                      tria_method: str = "qr"):
     """Sigma-point prediction in sqrt form.  Returns (mp, Up, chi, evals)
     with Up upper-triangular, Up^T Up = Pp."""
     chi = sgps.gen_sigma_points(mf, Lf)                     # (S, d)
@@ -81,12 +106,12 @@ def _sqrt_predict_sgp(sgps: SigmaPoints, trans: Transition, dt,
         else jnp.linalg.cholesky(
             jnp.einsum("s,sij->ij", sgps.w, trans.cov(chi, dt)))
     Lq = Lq.astype(evals.dtype)
-    Up = tria(jnp.concatenate([dev, Lq.T], axis=0))         # (d, d) upper
+    Up = tria(jnp.concatenate([dev, Lq.T], axis=0), tria_method)
     return mp, Up, chi, evals
 
 
 def _sqrt_update_1d(mp: jnp.ndarray, Up: jnp.ndarray, H: jnp.ndarray,
-                    sqrt_Xi, y):
+                    sqrt_Xi, y, tria_method: str = "qr"):
     """1-D-measurement square-root update via one QR.
 
     Pre-array ((1+d) x (1+d)):
@@ -98,7 +123,7 @@ def _sqrt_update_1d(mp: jnp.ndarray, Up: jnp.ndarray, H: jnp.ndarray,
     top = jnp.concatenate([jnp.atleast_1d(sqrt_Xi),
                            jnp.zeros((d,), mp.dtype)])[None, :]
     bottom = jnp.concatenate([UpHT[:, None], Up], axis=1)
-    R = tria(jnp.concatenate([top, bottom], axis=0))         # (1+d, 1+d)
+    R = tria(jnp.concatenate([top, bottom], axis=0), tria_method)
     sqrt_S = R[0, 0]
     w = R[0, 1:]                                             # K sqrt(S)
     Uf = R[1:, 1:]
@@ -110,7 +135,8 @@ def _sqrt_update_1d(mp: jnp.ndarray, Up: jnp.ndarray, H: jnp.ndarray,
 
 def sqrt_sgp_filter(cond_m_cov, sgps: SigmaPoints, H: jnp.ndarray, Xi,
                     m0: jnp.ndarray, P0: jnp.ndarray, dt,
-                    ys: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                    ys: jnp.ndarray,
+                    tria_method: str = "qr") -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Square-root sigma-point filter; float32-safe drop-in for
     :func:`chirpgp_tpu.infer.filters.sgp_filter` returning Cholesky
     factors ``Lfs`` instead of covariances."""
@@ -121,8 +147,9 @@ def sqrt_sgp_filter(cond_m_cov, sgps: SigmaPoints, H: jnp.ndarray, Xi,
 
     def step(carry, y):
         mf, Lf, n_ell = carry
-        mp, Up, _, _ = _sqrt_predict_sgp(sgps, trans, dt, mf, Lf)
-        mf, Uf, inc = _sqrt_update_1d(mp, Up, H, sqrt_Xi, y)
+        mp, Up, _, _ = _sqrt_predict_sgp(sgps, trans, dt, mf, Lf,
+                                         tria_method)
+        mf, Uf, inc = _sqrt_update_1d(mp, Up, H, sqrt_Xi, y, tria_method)
         Lf = _chol_to_lower(Uf)
         n_ell = n_ell + inc
         out = (mf, Lf, n_ell)
@@ -134,7 +161,8 @@ def sqrt_sgp_filter(cond_m_cov, sgps: SigmaPoints, H: jnp.ndarray, Xi,
 
 
 def sqrt_sgp_smoother(cond_m_cov, sgps: SigmaPoints, mfs: jnp.ndarray,
-                      Lfs: jnp.ndarray, dt) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      Lfs: jnp.ndarray, dt,
+                      tria_method: str = "qr") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Square-root sigma-point RTS smoother (no subtractive covariance
     update).  Consumes the sqrt filter's ``(mfs, Lfs)``."""
     _require_nonneg_weights(sgps, "sqrt_sgp_smoother")
@@ -159,13 +187,13 @@ def sqrt_sgp_smoother(cond_m_cov, sgps: SigmaPoints, mfs: jnp.ndarray,
             jnp.concatenate([dev_pred, dev_prev], axis=1),
             jnp.concatenate([Lq.T, jnp.zeros((d, d), mfs.dtype)], axis=1),
         ], axis=0)
-        R = tria(M)                                          # (2d, 2d)
+        R = tria(M, tria_method)                             # (2d, 2d)
         R11, R12, R22 = R[:d, :d], R[:d, d:], R[d:, d:]
         # Gain G = D Pp^{-1} = (R11^{-1} R12)^T via triangular solve.
         G = jax.scipy.linalg.solve_triangular(R11, R12, lower=False).T
         ms = mf + G @ (ms - mp)
         Ls = _chol_to_lower(
-            tria(jnp.concatenate([(G @ Ls).T, R22], axis=0)))
+            tria(jnp.concatenate([(G @ Ls).T, R22], axis=0), tria_method))
         return (ms, Ls), (ms, Ls)
 
     init = (mfs[-1], Lfs[-1])

@@ -5,9 +5,9 @@ with ``L`` the lower Cholesky factor of ``P``.
 
 TPU-first design notes
 ----------------------
-- Rules are immutable pytrees; weights/abscissae are built host-side with
-  NumPy at trace time (they are compile-time constants) and baked into the
-  compiled program as literals.
+- Rules are immutable NamedTuples whose weights/abscissae are host-side
+  NumPy arrays: they enter jitted programs as compile-time literals (never
+  as implicit traced arguments), so trace-time validity checks are free.
 - ``gen_sigma_points`` and the moment reducers broadcast over arbitrary
   leading batch axes, so a ``vmap``/``shard_map`` over Monte-Carlo seeds turns
   every reduction into a large batched einsum that XLA tiles onto the MXU.
@@ -141,8 +141,7 @@ def cubature(d: int) -> SigmaPoints:
     n_points = 2 * d
     w = np.full((n_points,), 1.0 / n_points)
     xi = math.sqrt(d) * np.concatenate([np.eye(d), -np.eye(d)], axis=0)
-    return SigmaPoints(d=d, n_points=n_points,
-                       w=jnp.asarray(w), wc=None, xi=jnp.asarray(xi))
+    return SigmaPoints(d=d, n_points=n_points, w=w, wc=None, xi=xi)
 
 
 def gauss_hermite(d: int, order: int = 3) -> SigmaPoints:
@@ -163,8 +162,7 @@ def gauss_hermite(d: int, order: int = 3) -> SigmaPoints:
     wgrids = np.meshgrid(*([w_1d] * d), indexing="ij")
     w = np.prod(np.stack([g.reshape(-1) for g in wgrids], axis=-1), axis=-1)
 
-    return SigmaPoints(d=d, n_points=order ** d,
-                       w=jnp.asarray(w), wc=None, xi=jnp.asarray(xi))
+    return SigmaPoints(d=d, n_points=order ** d, w=w, wc=None, xi=xi)
 
 
 def unscented(d: int, alpha: float = 1.0, beta: float = 0.0,
@@ -190,5 +188,4 @@ def unscented(d: int, alpha: float = 1.0, beta: float = 0.0,
     wi = 1.0 / (2.0 * c)
     w = np.concatenate([[w0m], np.full((2 * d,), wi)])
     wc = np.concatenate([[w0c], np.full((2 * d,), wi)])
-    return SigmaPoints(d=d, n_points=2 * d + 1,
-                       w=jnp.asarray(w), wc=jnp.asarray(wc), xi=jnp.asarray(xi))
+    return SigmaPoints(d=d, n_points=2 * d + 1, w=w, wc=wc, xi=xi)

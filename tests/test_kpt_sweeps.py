@@ -1,0 +1,75 @@
+"""KPT baseline and Monte-Carlo sweep machinery tests."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import numpy.testing as npt
+
+from chirpgp_tpu.apps import (
+    IFEstimationConfig, generate_rnd_keys, toymodel_measurements,
+    mc_mle_sweep, print_rmse_table, kpt_filter, kpt_if_estimate,
+    KPT_INIT_PARAMS)
+from chirpgp_tpu.parallel import make_mesh
+from chirpgp_tpu.toymodels import gen_chirp, constant_mag, affine_freq
+
+
+def test_generate_rnd_keys_deterministic():
+    k1 = generate_rnd_keys(10)
+    k2 = generate_rnd_keys(10)
+    npt.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    assert k1.shape[0] == 10
+
+
+def test_toymodel_measurements_contract():
+    keys = generate_rnd_keys(2)
+    ts, freqs, ys = toymodel_measurements(keys[0], "const", T=100)
+    assert ts.shape == (100,) and freqs.shape == (100,) and ys.shape == (100,)
+    # Same key -> same data; different magnitude -> same noise stream.
+    _, _, ys2 = toymodel_measurements(keys[0], "const", T=100)
+    npt.assert_array_equal(np.asarray(ys), np.asarray(ys2))
+    _, _, ys3 = toymodel_measurements(keys[1], "const", T=100)
+    assert not np.allclose(np.asarray(ys), np.asarray(ys3))
+
+
+def test_kpt_tracks_pure_tone():
+    """KPT EKF+RTS tracks a constant-frequency tone."""
+    dt, T = 1e-3, 2000
+    fs = 1.0 / dt
+    ts = jnp.linspace(dt, dt * T, T)
+    f0 = 25.0
+    _, phase = affine_freq(0.0, f0)
+    key = jax.random.PRNGKey(0)
+    Xi = 0.01
+    ys = gen_chirp(ts, constant_mag(1.0), phase) \
+        + math.sqrt(Xi) * jax.random.normal(key, (T,))
+    params = jnp.array([0.5, 1e-4, 0.1, 24.0, 1.0])
+    if_mean, nell = kpt_if_estimate(params, fs, Xi, ys)
+    tail = np.asarray(if_mean[500:])
+    npt.assert_allclose(tail.mean(), f0, rtol=0.05)
+
+
+def test_mc_mle_sweep_small():
+    """A small sharded MC sweep completes with finite RMSEs and the table
+    printer formats it."""
+    mesh = make_mesh()
+    keys = generate_rnd_keys(8)
+    cfg = IFEstimationConfig(method="ekfs", max_iters=40)
+    res = mc_mle_sweep(cfg, keys, "const", T=300, mesh=mesh)
+    assert res["rmse"].shape == (8,)
+    assert res["params"].shape == (8, 6)
+    # At least some seeds converge on this easy config.
+    assert np.sum(np.isfinite(res["rmse"])) >= 4
+    table = print_rmse_table({"ekfs": {"const": res}})
+    assert "ekfs" in table
+
+
+def test_sweep_shard_invariance():
+    """Sharded sweep equals unsharded vmap sweep."""
+    keys = generate_rnd_keys(8)
+    cfg = IFEstimationConfig(method="ekfs", max_iters=25)
+    res_mesh = mc_mle_sweep(cfg, keys, "const", T=200, mesh=make_mesh())
+    res_vmap = mc_mle_sweep(cfg, keys, "const", T=200, mesh=None)
+    npt.assert_allclose(res_mesh["rmse"], res_vmap["rmse"],
+                        rtol=1e-6, atol=1e-8)
