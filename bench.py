@@ -36,7 +36,7 @@ REFERENCE_BASELINE_STEPS_PER_SEC = 32772.0
 DT = 1e-3
 T = 3141
 XI = 0.1
-BATCH = 256
+BATCH = 1024
 REPEATS = 5
 
 
@@ -88,7 +88,7 @@ def main():
     result = {
         "metric": "ghfs_filter_smoother_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 1),
-        "unit": "steps/sec/chip (batch=256 seeds, T=3141, d=4, GH-3, f32)",
+        "unit": "steps/sec/chip (batch=1024 seeds, T=3141, d=4, GH-3, f32, sqrt-hh)",
         "vs_baseline": round(steps_per_sec / REFERENCE_BASELINE_STEPS_PER_SEC, 2),
     }
     print(json.dumps(result))

