@@ -1,0 +1,80 @@
+"""Monte-Carlo RMSE-table experiment (paper Table I reproduction).
+
+TPU-native counterpart of the reference's per-method Slurm jobs
+(``tetralith/jobs/*_mle.py`` + ``paper_plots_tables/print_rmse_table.py``):
+instead of a sequential Python loop per seed per method, each method's
+100-seed sweep runs as ONE sharded program over the device mesh; results
+are written as idempotent .npz files and aggregated into the reference's
+table format (RMSE x10 mean+-std / median / min / #NaN).
+
+Usage:
+    python experiments/run_rmse_table.py --methods ghfs ekfs --seeds 100
+    python experiments/run_rmse_table.py --methods all --out ./results
+"""
+
+import argparse
+
+import jax
+
+
+METHOD_CONFIGS = {
+    # method name -> IFEstimationConfig kwargs
+    "ghfs": dict(method="ghfs"),
+    "ekfs": dict(method="ekfs"),
+    "cd_ghfs": dict(method="cd_ghfs"),
+    "cd_ekfs": dict(method="cd_ekfs"),
+    "lascala_ghfs": dict(method="ghfs", model="lascala"),
+    "lascala_ekfs": dict(method="ekfs", model="lascala"),
+    "harmonic_ghfs": dict(method="ghfs", model="harmonic",
+                          num_harmonics=3, quadrature="cubature"),
+    "harmonic_ekfs": dict(method="ekfs", model="harmonic",
+                          num_harmonics=3),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--methods", nargs="+", default=["ghfs"],
+                    help=f"any of {sorted(METHOD_CONFIGS)} or 'all'")
+    ap.add_argument("--seeds", type=int, default=100)
+    ap.add_argument("--T", type=int, default=3141)
+    ap.add_argument("--mags", nargs="+",
+                    default=["const", "damped", "random"])
+    ap.add_argument("--out", default="./results")
+    ap.add_argument("--form", default="cov", choices=["cov", "sqrt"])
+    ap.add_argument("--x64", action="store_true")
+    args = ap.parse_args()
+
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+
+    from chirpgp_tpu.apps import (
+        IFEstimationConfig, generate_rnd_keys, mc_mle_sweep,
+        print_rmse_table)
+    from chirpgp_tpu.apps.sweeps import save_results
+    from chirpgp_tpu.parallel import make_mesh, pad_to_multiple
+
+    methods = sorted(METHOD_CONFIGS) if args.methods == ["all"] \
+        else args.methods
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    keys = generate_rnd_keys(max(args.seeds, 1))[:args.seeds]
+    keys, n_real = pad_to_multiple(keys, n_dev)
+
+    all_results = {}
+    for method in methods:
+        cfg = IFEstimationConfig(form=args.form, **METHOD_CONFIGS[method])
+        by_mag = {}
+        for mag in args.mags:
+            res = mc_mle_sweep(cfg, keys, mag, T=args.T, mesh=mesh)
+            res = {k: v[:n_real] for k, v in res.items()}
+            path = save_results(res, method, mag, args.out)
+            print(f"saved {path}")
+            by_mag[mag] = res
+        all_results[method] = by_mag
+
+    print_rmse_table(all_results)
+
+
+if __name__ == "__main__":
+    main()
