@@ -1,7 +1,8 @@
 """End-to-end applications: toymodel pipelines, real-data analyses."""
 
 from chirpgp_tpu.apps.pipeline import (
-    IFEstimationConfig, make_nll_fn, fit_mle, estimate_if, run_pipeline)
+    IFEstimationConfig, make_nll_fn, fit_mle, estimate_if,
+    estimate_if_batched, run_pipeline)
 from chirpgp_tpu.apps.sweeps import (
     generate_rnd_keys, toymodel_measurements, mc_mle_sweep,
     print_rmse_table, MAGNITUDES)
@@ -17,7 +18,7 @@ from chirpgp_tpu.apps.posterior import (
 
 __all__ = [
     "IFEstimationConfig", "make_nll_fn", "fit_mle", "estimate_if",
-    "run_pipeline",
+    "estimate_if_batched", "run_pipeline",
     "generate_rnd_keys", "toymodel_measurements", "mc_mle_sweep",
     "print_rmse_table", "MAGNITUDES",
     "filter_error_mc",

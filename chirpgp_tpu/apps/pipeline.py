@@ -209,6 +209,36 @@ def estimate_if(cfg: IFEstimationConfig, params: jnp.ndarray,
                 if_mean=if_mean, if_lower=lo, if_upper=hi)
 
 
+def estimate_if_batched(cfg: IFEstimationConfig, params: jnp.ndarray,
+                        yss: jnp.ndarray):
+    """High-throughput fixed-params estimation over a batch of sequences
+    ``yss`` (B, T) using the channels-first batched kernels (the MC batch
+    rides the TPU lane dimension; ~3-4x over vmapping
+    :func:`estimate_if`).  Requires ``method='ghfs'`` semantics (sqrt
+    sigma-point filter+smoother) and a one-hot measurement vector.
+
+    Returns dict with ``if_mean`` (B, T) and ``nell`` (B,).
+    """
+    from chirpgp_tpu.infer.batched import (
+        sqrt_sgp_filter_batched, sqrt_sgp_smoother_batched,
+        gaussian_expectation_batched)
+
+    pack = cfg.build(params)
+    sgps = cfg.sigma_points()
+    mfs, Lfs, nll = sqrt_sgp_filter_batched(
+        pack.m_and_cov, sgps, pack.H, cfg.Xi, pack.m0, pack.P0, cfg.dt,
+        yss)
+    mss, Lss = sqrt_sgp_smoother_batched(pack.m_and_cov, sgps, mfs, Lfs,
+                                         cfg.dt)
+    v_idx = (mss.shape[1] - 2) if cfg.model == "harmonic" else 2
+    v_mean = mss[:, v_idx, :]
+    v_std = jnp.sqrt(jnp.einsum("tkb,tkb->tb", Lss[:, v_idx],
+                                Lss[:, v_idx]))
+    if_mean = gaussian_expectation_batched(
+        v_mean, v_std, order=cfg.expectation_order) * cfg.freq_scale
+    return dict(if_mean=if_mean.T, nell=nll[-1], mss=mss, Lss=Lss)
+
+
 def run_pipeline(cfg: IFEstimationConfig, ys: jnp.ndarray,
                  init_theta: Optional[jnp.ndarray] = None):
     """MLE then estimation; returns (opt_result, constrained params,

@@ -14,6 +14,9 @@ from chirpgp_tpu.infer.smc import (
     bootstrap_filter, systematic_resample, effective_sample_size)
 from chirpgp_tpu.infer.parallel_sgp import (
     kf_parallel_tv, rts_parallel_tv, slr_transitions, psgp_filter_smoother)
+from chirpgp_tpu.infer.batched import (
+    tria_cf, sqrt_sgp_filter_batched, sqrt_sgp_smoother_batched,
+    gaussian_expectation_batched)
 
 __all__ = [
     "kf", "ekf", "ekf_for_kpt", "sgp_filter", "cd_ekf", "cd_sgp_filter",
@@ -25,4 +28,6 @@ __all__ = [
     "bootstrap_filter", "systematic_resample", "effective_sample_size",
     "kf_parallel_tv", "rts_parallel_tv", "slr_transitions",
     "psgp_filter_smoother",
+    "tria_cf", "sqrt_sgp_filter_batched", "sqrt_sgp_smoother_batched",
+    "gaussian_expectation_batched",
 ]

@@ -169,7 +169,20 @@ def disc_chirp_lcd(lam, b, ell, sigma) -> Transition:
         _, S32 = m32_solution(ell, sigma, dt)
         return jax.scipy.linalg.block_diag(q * jnp.eye(2), S32)
 
-    return Transition(mean=mean, cov=cov, const_cov=True)
+    def mean_cf(u, dt):
+        # Channels-first: u (..., 4, B); same closed form, component axis
+        # second-to-last so the batch stays on the TPU lane dimension.
+        w = _TWO_PI * g(u[..., 2, :])
+        decay = jnp.exp(-lam * dt)
+        c, sn = jnp.cos(dt * w) * decay, jnp.sin(dt * w) * decay
+        F32, _ = m32_solution(ell, sigma, dt)
+        m0_ = c * u[..., 0, :] - sn * u[..., 1, :]
+        m1_ = sn * u[..., 0, :] + c * u[..., 1, :]
+        m2_ = F32[0, 0] * u[..., 2, :] + F32[0, 1] * u[..., 3, :]
+        m3_ = F32[1, 0] * u[..., 2, :] + F32[1, 1] * u[..., 3, :]
+        return jnp.stack([m0_, m1_, m2_, m3_], axis=-2)
+
+    return Transition(mean=mean, cov=cov, const_cov=True, mean_cf=mean_cf)
 
 
 def disc_chirp_lcd_cond_v(lam, b):
@@ -214,7 +227,23 @@ def disc_harmonic_chirp_lcd(lam, b, ell, sigma, num_harmonics: int = 1,
         _, S32 = m32_solution(ell, sigma, dt)
         return jax.scipy.linalg.block_diag(q * jnp.eye(2 * K), S32)
 
-    return Transition(mean=mean, cov=cov, const_cov=True)
+    def mean_cf(u, dt):
+        w = _TWO_PI * g(u[..., -2, :]) * freq_scale
+        decay = jnp.exp(-lam * dt)
+        F32, _ = m32_solution(ell, sigma, dt)
+        outs = []
+        for k in range(1, K + 1):
+            ang = dt * k * w
+            c, sn = jnp.cos(ang) * decay, jnp.sin(ang) * decay
+            x0 = u[..., 2 * (k - 1), :]
+            x1 = u[..., 2 * k - 1, :]
+            outs.append(c * x0 - sn * x1)
+            outs.append(sn * x0 + c * x1)
+        outs.append(F32[0, 0] * u[..., -2, :] + F32[0, 1] * u[..., -1, :])
+        outs.append(F32[1, 0] * u[..., -2, :] + F32[1, 1] * u[..., -1, :])
+        return jnp.stack(outs, axis=-2)
+
+    return Transition(mean=mean, cov=cov, const_cov=True, mean_cf=mean_cf)
 
 
 def disc_model_lascala_lcd(ell, sigma) -> Transition:
@@ -233,7 +262,17 @@ def disc_model_lascala_lcd(ell, sigma) -> Transition:
         _, S32 = m32_solution(ell, sigma, dt)
         return jax.scipy.linalg.block_diag(jnp.zeros((2, 2)), S32)
 
-    return Transition(mean=mean, cov=cov, const_cov=True)
+    def mean_cf(u, dt):
+        w = _TWO_PI * g(u[..., 2, :])
+        c, sn = jnp.cos(dt * w), jnp.sin(dt * w)
+        F32, _ = m32_solution(ell, sigma, dt)
+        m0_ = c * u[..., 0, :] - sn * u[..., 1, :]
+        m1_ = sn * u[..., 0, :] + c * u[..., 1, :]
+        m2_ = F32[0, 0] * u[..., 2, :] + F32[0, 1] * u[..., 3, :]
+        m3_ = F32[1, 0] * u[..., 2, :] + F32[1, 1] * u[..., 3, :]
+        return jnp.stack([m0_, m1_, m2_, m3_], axis=-2)
+
+    return Transition(mean=mean, cov=cov, const_cov=True, mean_cf=mean_cf)
 
 
 def disc_chirp_euler_maruyama():

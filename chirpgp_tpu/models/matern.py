@@ -89,4 +89,8 @@ def disc_m32(ell, sigma) -> Transition:
     def cov(_, dt):
         return m32_solution(ell, sigma, dt)[1]
 
-    return Transition(mean=mean, cov=cov, const_cov=True)
+    def mean_cf(u, dt):
+        F, _ = m32_solution(ell, sigma, dt)
+        return jnp.einsum("ij,...jb->...ib", F, u)
+
+    return Transition(mean=mean, cov=cov, const_cov=True, mean_cf=mean_cf)

@@ -41,11 +41,27 @@ class Transition:
         return a single ``(d, d)`` array.
     const_cov : bool
         Covariance does not depend on the state.
+    mean_cf : callable ``(..., d, B), dt -> (..., d, B)`` or None
+        Channels-first conditional mean: the state-component axis is
+        second-to-last and a (large) batch axis is last.  This is the
+        layout the batched TPU kernels use -- the batch rides the 128-wide
+        lane dimension of the VPU tiles, which measures ~3-4x faster than
+        batch-leading layouts for these tiny state dimensions.  When None,
+        the batched kernels fall back to transposing around ``mean``.
     """
 
     mean: Callable
     cov: Callable
     const_cov: bool = False
+    mean_cf: Optional[Callable] = None
+
+    def mean_channels_first(self, u_cf: jnp.ndarray, dt) -> jnp.ndarray:
+        """Evaluate the conditional mean in channels-first layout
+        ``(..., d, B)``, using ``mean_cf`` when available."""
+        if self.mean_cf is not None:
+            return self.mean_cf(u_cf, dt)
+        u = jnp.swapaxes(u_cf, -1, -2)
+        return jnp.swapaxes(self.mean(u, dt), -1, -2)
 
     def __call__(self, u: jnp.ndarray, dt) -> Tuple[jnp.ndarray, jnp.ndarray]:
         m = self.mean(u, dt)
