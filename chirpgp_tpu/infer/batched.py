@@ -48,7 +48,9 @@ def tria_cf(M: jnp.ndarray) -> jnp.ndarray:
         sub = M[j:, j:, :]                                # (n-j, d-j, B)
         wv = jnp.einsum("nb,nkb->kb", v, sub)
         sub = sub - beta[None] * v[:, None, :] * wv[None]
-        M = M.at[j:, j:, :].set(sub)
+        # j == 0 updates the whole array (avoids an empty-index scatter
+        # constant that Pallas kernels cannot capture).
+        M = sub if j == 0 else M.at[j:, j:, :].set(sub)
     R = M[:d]
     # Zero strictly-lower entries (per-lane triu).
     tri = jnp.tril(jnp.ones((d, d), M.dtype), k=-1)
