@@ -53,6 +53,7 @@ class IFEstimationConfig:
     gh_order: int = 3
     optimizer: str = "lbfgs"      # lbfgs (in-JAX) | scipy (host L-BFGS-B)
     max_iters: int = 200
+    chunk_iters: int = 0          # >0: host-chunked L-BFGS dispatches
     expectation_order: int = 10   # GH order for E[g(V)]
     form: str = "cov"             # cov | sqrt (float32-safe QR forms; ghfs/ekfs only)
 
@@ -170,7 +171,8 @@ def fit_mle(cfg: IFEstimationConfig, ys: jnp.ndarray,
         init_theta = cfg.default_init_theta()
     nll = make_nll_fn(cfg, ys)
     if cfg.optimizer == "lbfgs":
-        return lbfgs_minimize(nll, init_theta, max_iters=cfg.max_iters)
+        return lbfgs_minimize(nll, init_theta, max_iters=cfg.max_iters,
+                              chunk_iters=cfg.chunk_iters or None)
     return scipy_minimize(nll, init_theta)
 
 

@@ -12,7 +12,7 @@ Two optimizers over the filter-marginal negative log-likelihood:
   divergent Monte-Carlo runs as NaN (``tetralith/jobs/ghfs_mle.py:78-81``).
 """
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,12 +31,19 @@ class MLEResult(NamedTuple):
 
 def lbfgs_minimize(fun: Callable, init_params, max_iters: int = 200,
                    tol: float = 1e-6, memory_size: int = 15,
-                   jit: bool = True) -> MLEResult:
+                   jit: bool = True,
+                   chunk_iters: Optional[int] = None) -> MLEResult:
     """Minimize ``fun`` (scalar, differentiable) fully inside XLA.
 
     Uses L-BFGS with zoom line search; the loop is a ``lax.while_loop`` with
     a gradient-norm stopping rule, so calling this inside a larger jitted
     program (e.g. a sharded Monte-Carlo sweep) is fine.
+
+    ``chunk_iters`` splits the optimization into host-stepped dispatches of
+    at most that many iterations each (same results; the while_loop bound
+    moves), e.g. to observe progress from the host.  Note: on the
+    experimental axon TPU backend repeated re-dispatch of this program has
+    been observed to crash the worker; prefer the monolithic path there.
     """
     opt = optax.lbfgs(memory_size=memory_size)
     value_and_grad = optax.value_and_grad_from_state(fun)
@@ -49,22 +56,47 @@ def lbfgs_minimize(fun: Callable, init_params, max_iters: int = 200,
         params = optax.apply_updates(params, updates)
         return params, state
 
-    def continuing(carry):
-        _, state = carry
-        count = otu.tree_get(state, "count")
-        grad = otu.tree_get(state, "grad")
-        err = otu.tree_norm(grad)
-        return (count == 0) | ((count < max_iters) & (err >= tol))
+    def continuing_until(bound):
+        def continuing(carry):
+            _, state = carry
+            count = otu.tree_get(state, "count")
+            grad = otu.tree_get(state, "grad")
+            err = otu.tree_norm(grad)
+            return (count == 0) | ((count < bound) & (err >= tol))
+        return continuing
 
-    def run(params0):
-        init = (params0, opt.init(params0))
-        params, state = jax.lax.while_loop(continuing, step, init)
+    def finish(params, state):
         value = otu.tree_get(state, "value")
         count = otu.tree_get(state, "count")
         finite = jnp.isfinite(value) & jnp.all(jnp.isfinite(params))
         return MLEResult(params, value, count, finite)
 
-    return jax.jit(run)(init_params) if jit else run(init_params)
+    if chunk_iters is None:
+        def run(params0):
+            init = (params0, opt.init(params0))
+            params, state = jax.lax.while_loop(
+                continuing_until(max_iters), step, init)
+            return finish(params, state)
+
+        return jax.jit(run)(init_params) if jit else run(init_params)
+
+    # Host-chunked: each dispatch advances at most chunk_iters iterations.
+    # The bound is a traced argument so every chunk reuses one compile.
+    def run_chunk(params, state, bound):
+        return jax.lax.while_loop(continuing_until(bound), step,
+                                  (params, state))
+
+    run_chunk_j = jax.jit(run_chunk)
+    params, state = init_params, opt.init(init_params)
+    bound = 0
+    while bound < max_iters:
+        bound = min(bound + chunk_iters, max_iters)
+        params, state = run_chunk_j(params, state, jnp.asarray(bound))
+        count = int(otu.tree_get(state, "count"))
+        err = float(otu.tree_norm(otu.tree_get(state, "grad")))
+        if count < bound or err < tol:
+            break
+    return finish(params, state)
 
 
 def scipy_minimize(fun: Callable, init_params, method: str = "L-BFGS-B",

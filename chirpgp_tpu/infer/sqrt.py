@@ -169,10 +169,18 @@ def _sqrt_update_1d(mp: jnp.ndarray, Up: jnp.ndarray, H: jnp.ndarray,
 def sqrt_sgp_filter(cond_m_cov, sgps: SigmaPoints, H: jnp.ndarray, Xi,
                     m0: jnp.ndarray, P0: jnp.ndarray, dt,
                     ys: jnp.ndarray,
-                    tria_method: str = "hh") -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                    tria_method: str = "hh",
+                    remat: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Square-root sigma-point filter; float32-safe drop-in for
     :func:`chirpgp_tpu.infer.filters.sgp_filter` returning Cholesky
-    factors ``Lfs`` instead of covariances."""
+    factors ``Lfs`` instead of covariances.
+
+    ``remat`` checkpoints each scan step for reverse-mode AD: residual
+    memory drops from O(T * sigma-point intermediates) to O(T * carry),
+    which is what makes gradient-through-the-filter MLE viable at
+    T ~ 3000+ on a single chip (the per-step recompute is cheap relative
+    to the saved HBM traffic).
+    """
     _require_nonneg_weights(sgps, "sqrt_sgp_filter")
     trans = as_transition(cond_m_cov)
     sqrt_Xi = jnp.sqrt(jnp.asarray(Xi, m0.dtype))
@@ -188,6 +196,8 @@ def sqrt_sgp_filter(cond_m_cov, sgps: SigmaPoints, H: jnp.ndarray, Xi,
         out = (mf, Lf, n_ell)
         return out, out
 
+    if remat:
+        step = jax.checkpoint(step)
     init = (m0, L0, jnp.zeros((), m0.dtype))
     _, (mfs, Lfs, n_ell) = jax.lax.scan(step, init, ys)
     return mfs, Lfs, n_ell

@@ -28,6 +28,12 @@ def main():
                     choices=["ghfs", "ekfs", "cd_ghfs", "cd_ekfs"])
     ap.add_argument("--form", default="cov", choices=["cov", "sqrt"])
     ap.add_argument("--T", type=int, default=3141)
+    ap.add_argument("--max-iters", type=int, default=100)
+    ap.add_argument("--optimizer", default="scipy",
+                    choices=["scipy", "lbfgs"],
+                    help="scipy: host L-BFGS-B with short device dispatches "
+                         "(robust on tunneled TPU backends); lbfgs: fully "
+                         "in-JAX (fastest for batched sweeps)")
     ap.add_argument("--x64", action="store_true",
                     help="enable float64 (CPU only)")
     ap.add_argument("--plot", action="store_true")
@@ -44,7 +50,8 @@ def main():
     key, subkey = jax.random.split(key)
 
     cfg = IFEstimationConfig(dt=dt, Xi=Xi, method=args.method,
-                             form=args.form)
+                             form=args.form, max_iters=args.max_iters,
+                             optimizer=args.optimizer)
 
     for name, mag in [("const", constant_mag(1.0)),
                       ("damped", damped_exp_mag(0.3)),
