@@ -127,6 +127,38 @@ def mc_mle_sweep(cfg: IFEstimationConfig, keys: jnp.ndarray, mag_name: str,
     return {k: np.asarray(v) for k, v in jax.device_get(out).items()}
 
 
+def mc_kpt_sweep(keys: jnp.ndarray, mag_name: str, Xi: float = 0.1,
+                 dt: float = 1e-3, T: int = 3141, num_harmonics: int = 1,
+                 max_iters: int = 100, mesh=None) -> Dict[str, np.ndarray]:
+    """KPT-baseline MC sweep (reference ``tetralith/jobs/kpt_mle.py``):
+    per seed, learn [q1, q2, p0, f0, a0] by EKF-marginal MLE, smooth with
+    the linear RTS, estimate the IF, record RMSE (NaN on divergence)."""
+    from chirpgp_tpu.apps.kpt import (
+        KPT_INIT_PARAMS, kpt_mle, kpt_if_estimate)
+    from chirpgp_tpu.models import g as g_fn
+
+    fs = 1.0 / dt
+
+    def per_seed(key):
+        ts, true_freqs, ys = toymodel_measurements(
+            key, mag_name, dt=dt, T=T, Xi=Xi)
+        opt = kpt_mle(fs, Xi, ys, num_harmonics=num_harmonics,
+                      max_iters=max_iters)
+        params = g_fn(opt.params)
+        if_mean, _ = kpt_if_estimate(params, fs, Xi, ys,
+                                     num_harmonics=num_harmonics)
+        err = rmse(true_freqs, if_mean)
+        err = jnp.where(opt.success, err, jnp.nan)
+        return dict(rmse=err, params=params, success=opt.success)
+
+    if mesh is not None:
+        from chirpgp_tpu.parallel import sharded_seed_sweep
+        out = sharded_seed_sweep(per_seed, keys, mesh)
+    else:
+        out = jax.jit(jax.vmap(per_seed))(keys)
+    return {k: np.asarray(v) for k, v in jax.device_get(out).items()}
+
+
 def save_results(results: Dict[str, np.ndarray], method: str,
                  mag_name: str, out_dir: str = "./results"):
     """Write the reference-compatible result file

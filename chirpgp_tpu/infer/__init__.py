@@ -17,6 +17,8 @@ from chirpgp_tpu.infer.parallel_sgp import (
 from chirpgp_tpu.infer.batched import (
     tria_cf, sqrt_sgp_filter_batched, sqrt_sgp_smoother_batched,
     gaussian_expectation_batched)
+from chirpgp_tpu.infer.parallel_sharded import (
+    kf_parallel_time_sharded, rts_parallel_time_sharded)
 
 __all__ = [
     "kf", "ekf", "ekf_for_kpt", "sgp_filter", "cd_ekf", "cd_sgp_filter",
@@ -30,4 +32,5 @@ __all__ = [
     "psgp_filter_smoother",
     "tria_cf", "sqrt_sgp_filter_batched", "sqrt_sgp_smoother_batched",
     "gaussian_expectation_batched",
+    "kf_parallel_time_sharded", "rts_parallel_time_sharded",
 ]

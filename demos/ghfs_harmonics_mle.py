@@ -5,6 +5,11 @@ points, MLE via the in-JAX L-BFGS.
 Usage: python demos/ghfs_harmonics_mle.py [--harmonics 3] [--plot]
 """
 
+# Allow running straight from a source checkout (no pip install).
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import math
 

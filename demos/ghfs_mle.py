@@ -10,6 +10,11 @@ sqrt`` selects the float32-safe square-root path for TPU.
 Usage: python demos/ghfs_mle.py [--method ghfs] [--form cov|sqrt] [--plot]
 """
 
+# Allow running straight from a source checkout (no pip install).
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import math
 

@@ -10,6 +10,11 @@ Usage:
         [--plot out.png]
 """
 
+# Allow running straight from a source checkout (no pip install).
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 

@@ -1,0 +1,174 @@
+"""Paper-figure reproductions (reference ``paper_plots_tables/``):
+chirp-SDE sample paths, harmonic-SDE covariance surfaces, conditional
+chirp covariances, and IF-estimation overlays.
+
+All figures save to PNG (Agg backend; no display needed).
+
+Usage:
+    python experiments/plots.py --which samples cov cond_cov estimation
+"""
+
+# Allow running straight from a source checkout (no pip install).
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import math
+import os
+
+
+def plot_chirp_samples(outdir):
+    """Sample paths of the chirp SDE prior (ref plot_chirp_samples.py)."""
+    import jax
+    import jax.numpy as jnp
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from chirpgp_tpu.models import model_chirp, disc_chirp_lcd, g
+    from chirpgp_tpu.utils import simulate_sde
+
+    lam, b, ell, sigma, delta = 0.1, 0.3, 1.0, 1.0, 0.1
+    _, _, m0, P0, _ = model_chirp(lam, b, ell, sigma, delta)
+    trans = disc_chirp_lcd(lam, b, ell, sigma)
+    dt, T = 1e-3, 3000
+    ts = np.arange(1, T + 1) * dt
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    fig, axes = plt.subplots(2, 1, figsize=(8, 6), sharex=True)
+    for k in keys:
+        traj = simulate_sde(trans, m0, P0, dt, T, k)
+        axes[0].plot(ts, np.asarray(traj[:, 1]), lw=0.8)
+        axes[1].plot(ts, np.asarray(g(traj[:, 2])), lw=0.8)
+    axes[0].set_ylabel("chirp X2(t)")
+    axes[1].set_ylabel("IF g(V(t)) [Hz]")
+    axes[1].set_xlabel("t [s]")
+    path = os.path.join(outdir, "chirp_samples.png")
+    fig.savefig(path, dpi=130)
+    plt.close(fig)
+    print("wrote", path)
+
+
+def plot_cov_harmonic(outdir):
+    """Closed-form harmonic-SDE covariance surface (ref
+    plot_cov_harmonic_sde.py)."""
+    import jax.numpy as jnp
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from chirpgp_tpu.models.cov_funcs import vmap_cov_harmonic_sde
+
+    ts = jnp.linspace(0.01, 2.0, 80)
+    cov0 = 0.1 * jnp.eye(2)
+    surf = vmap_cov_harmonic_sde(ts, ts, cov0, 2.0, 0.3, 0.5)
+    fig, ax = plt.subplots(figsize=(6, 5))
+    im = ax.imshow(np.asarray(surf[:, :, 1, 1]), origin="lower",
+                   extent=[0.01, 2.0, 0.01, 2.0], cmap="RdBu_r")
+    fig.colorbar(im, ax=ax, label="Cov[X2(t1), X2(t2)]")
+    ax.set_xlabel("t1 [s]")
+    ax.set_ylabel("t2 [s]")
+    path = os.path.join(outdir, "cov_harmonic_sde.png")
+    fig.savefig(path, dpi=130)
+    plt.close(fig)
+    print("wrote", path)
+
+
+def plot_cond_cov_chirp(outdir):
+    """Monte-Carlo conditional covariance of the chirp SDE given a V path
+    (ref plot_cov_chirp_sde_cond_v.py)."""
+    import jax
+    import jax.numpy as jnp
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from chirpgp_tpu.models.cov_funcs import approx_cond_cov_chirp_sde
+
+    ts = jnp.linspace(0.01, 1.0, 100)
+    vs, surf = approx_cond_cov_chirp_sde(ts, 0.2, 0.3, 1.0, 1.0, 0.1,
+                                         num_mcs=2000,
+                                         key=jax.random.PRNGKey(1))
+    fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+    axes[0].plot(np.asarray(ts), np.asarray(vs[:, 0]))
+    axes[0].set_title("conditioning V path")
+    im = axes[1].imshow(np.asarray(surf[:, :, 1, 1]), origin="lower",
+                        cmap="RdBu_r")
+    fig.colorbar(im, ax=axes[1])
+    axes[1].set_title("MC Cov[X2(t1), X2(t2) | V]")
+    path = os.path.join(outdir, "cond_cov_chirp_sde.png")
+    fig.savefig(path, dpi=130)
+    plt.close(fig)
+    print("wrote", path)
+
+
+def plot_estimation(outdir):
+    """IF-estimation overlay on the canonical toymodel (ref
+    plot_estimation.py), fixed default params for speed."""
+    import jax
+    import jax.numpy as jnp
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from chirpgp_tpu.apps import IFEstimationConfig, estimate_if
+    from chirpgp_tpu.models import g
+    from chirpgp_tpu.toymodels import gen_chirp, constant_mag, meow_freq
+
+    dt, T, Xi = 1e-3, 3141, 0.1
+    ts = jnp.linspace(dt, dt * T, T)
+    freq_func, phase_func = meow_freq(offset=8.0)
+    key = jax.random.PRNGKey(555)
+    ys = gen_chirp(ts, constant_mag(1.0), phase_func) \
+        + math.sqrt(Xi) * jax.random.normal(key, (T,))
+    cfg = IFEstimationConfig(dt=dt, Xi=Xi, method="ghfs")
+    est = estimate_if(cfg, g(cfg.default_init_theta()), ys)
+
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.plot(np.asarray(ts), np.asarray(freq_func(ts)), "--",
+            label="true IF")
+    ax.plot(np.asarray(ts), np.asarray(est["if_mean"]), "k",
+            label="posterior mean")
+    ax.fill_between(np.asarray(ts), np.asarray(est["if_lower"]),
+                    np.asarray(est["if_upper"]), color="k", alpha=0.15,
+                    edgecolor="none")
+    ax.legend()
+    ax.set_xlabel("t [s]")
+    ax.set_ylabel("IF [Hz]")
+    path = os.path.join(outdir, "estimation.png")
+    fig.savefig(path, dpi=130)
+    plt.close(fig)
+    print("wrote", path)
+
+
+PLOTS = {
+    "samples": plot_chirp_samples,
+    "cov": plot_cov_harmonic,
+    "cond_cov": plot_cond_cov_chirp,
+    "estimation": plot_estimation,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--which", nargs="+", default=list(PLOTS),
+                    choices=list(PLOTS))
+    ap.add_argument("--out", default="./figures")
+    ap.add_argument("--platform", default="cpu",
+                    help="jax platform (default cpu; figures are small "
+                         "workloads and the env may pin an accelerator)")
+    args = ap.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    os.makedirs(args.out, exist_ok=True)
+    for name in args.which:
+        PLOTS[name](args.out)
+
+
+if __name__ == "__main__":
+    main()

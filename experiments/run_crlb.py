@@ -11,6 +11,11 @@ Usage:
     python experiments/run_crlb.py -lam 0.1 0.4 0.7 1.0 -b 0.1 0.4 0.7 1.0
 """
 
+# Allow running straight from a source checkout (no pip install).
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import os
 

@@ -12,6 +12,11 @@ Usage:
     python experiments/run_rmse_table.py --methods all --out ./results
 """
 
+# Allow running straight from a source checkout (no pip install).
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 import jax
