@@ -51,7 +51,13 @@ class IFEstimationConfig:
     freq_scale: float = 1.0
     quadrature: str = "gauss_hermite"   # gauss_hermite | cubature | unscented
     gh_order: int = 3
-    optimizer: str = "lbfgs"      # lbfgs (in-JAX) | scipy (host L-BFGS-B)
+    # scipy is the single-seed default: it matches the reference's
+    # optimizer contract (jaxopt.ScipyMinimize L-BFGS-B, one jitted
+    # value-and-grad dispatch per iteration) and is robust on TPU
+    # runtimes where a monolithic minutes-long while_loop dispatch is
+    # not (see PARITY.md backend notes).  Batched/sharded sweeps use the
+    # in-JAX "lbfgs" so the whole MLE jits into one program.
+    optimizer: str = "scipy"      # scipy (host L-BFGS-B) | lbfgs (in-JAX)
     max_iters: int = 200
     chunk_iters: int = 0          # >0: host-chunked L-BFGS dispatches
     expectation_order: int = 10   # GH order for E[g(V)]
@@ -173,7 +179,8 @@ def fit_mle(cfg: IFEstimationConfig, ys: jnp.ndarray,
     if cfg.optimizer == "lbfgs":
         return lbfgs_minimize(nll, init_theta, max_iters=cfg.max_iters,
                               chunk_iters=cfg.chunk_iters or None)
-    return scipy_minimize(nll, init_theta)
+    return scipy_minimize(nll, init_theta,
+                          options={"maxiter": cfg.max_iters})
 
 
 class IFEstimate(Tuple):

@@ -25,6 +25,7 @@ from chirpgp_tpu.models.transitions import Transition, as_transition
 from chirpgp_tpu.quad.sigma_points import SigmaPoints
 
 __all__ = ["tria_cf", "sqrt_sgp_filter_batched", "sqrt_sgp_smoother_batched",
+           "sqrt_sgp_filter_smoother_batched", "cov_sgp_filter_smoother_batched",
            "gaussian_expectation_batched"]
 
 _LOG_2PI = math.log(2.0 * math.pi)
@@ -173,14 +174,8 @@ def sqrt_sgp_smoother_batched(cond_m_cov, sgps: SigmaPoints, mfs, Lfs,
         ], axis=0)                                        # (S+d, 2d, B)
         R = tria_cf(M)                                    # (2d, 2d, B)
         R11, R12, R22 = R[:d, :d], R[:d, d:], R[d:, d:]
-        # G = (R11^{-1} R12)^T per lane: back-substitution, unrolled.
-        X = jnp.zeros_like(R12)                           # R11 X = R12
-        for i in range(d - 1, -1, -1):
-            acc = R12[i]
-            for k in range(i + 1, d):
-                acc = acc - R11[i, k][None] * X[k]
-            X = X.at[i].set(acc / R11[i, i][None])
-        G = jnp.swapaxes(X, 0, 1)                         # (d, d, B)
+        # G = (R11^{-1} R12)^T per lane.
+        G = jnp.swapaxes(_backsub_cf(R11, R12, d), 0, 1)  # (d, d, B)
         ms = mf + jnp.einsum("ijb,jb->ib", G, ms - mp)
         GLs = jnp.einsum("ijb,jkb->ikb", G, Ls)
         Ls = jnp.swapaxes(
@@ -193,6 +188,297 @@ def sqrt_sgp_smoother_batched(cond_m_cov, sgps: SigmaPoints, mfs, Lfs,
                                  reverse=True)
     return jnp.concatenate([mss, mfs[-1][None]]), \
         jnp.concatenate([Lss, Lfs[-1][None]])
+
+
+def _backsub_cf(R11: jnp.ndarray, R12: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Solve R11 X = R12 per lane (R11 (d, d, B) upper, R12 (d, d, B));
+    unrolled back-substitution."""
+    X = jnp.zeros_like(R12)
+    for i in range(d - 1, -1, -1):
+        acc = R12[i]
+        for k in range(i + 1, d):
+            acc = acc - R11[i, k][None] * X[k]
+        X = X.at[i].set(acc / R11[i, i][None])
+    return X
+
+
+def sqrt_sgp_filter_smoother_batched(cond_m_cov, sgps: SigmaPoints, H, Xi,
+                                     m0, P0, dt, yss,
+                                     return_factors: bool = True
+                                     ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                                jnp.ndarray]:
+    """Fused batched sqrt sigma-point filter + smoother.
+
+    Same math as ``sqrt_sgp_filter_batched`` followed by
+    ``sqrt_sgp_smoother_batched``, restructured so the smoother's
+    sigma-point propagation and its (S+d)-row triangularization happen
+    ONCE, inside the forward pass: the joint pre-array
+    ``[[dev_pred, dev_prev], [Lq^T, 0]]`` is triangularized per step and
+    its R11 block doubles as the filter's predicted factor (the
+    Householder reflections for the first d columns see only the first
+    block, so R11 == tria([dev_pred; Lq^T]) exactly).  The forward scan
+    emits the smoother gain (as ``X = R11^{-1} R12``) and the conditional
+    factor R22; the backward scan is then a handful of d x d x B einsums
+    plus one 2d-row triangularization -- ~3x cheaper than the standalone
+    smoother, which re-propagates sigma points and re-triangularizes
+    (S+d, 2d) per step.
+
+    Returns ``(mss (T, d, B), Lss (T, d, d, B) lower, nll (T, B))``.
+    Reference behavior contract: ``chirpgp/filters_smoothers.py:446-531``
+    (sgp_filter + sgp_smoother), fused TPU-side.
+
+    ``return_factors=False`` switches the backward pass to the affine
+    covariance recursion ``ms = u + G ms'``, ``Ps = D + G Ps' G^T`` with
+    ``u = mf - G mp`` and ``D = R22^T R22`` (both emitted by the QR-stable
+    forward pass; D is a Gram of the joint factor, PSD by construction).
+    That makes the backward scan ~5 ops/step and skips stacking the
+    filtered factors; the return value is then ``(mss, Pss, nll)`` with
+    FULL covariances instead of Cholesky factors.  The forward pass --
+    and hence the f32 accuracy of every ingredient -- is identical.
+    """
+    _require_nonneg_weights(sgps, "sqrt_sgp_filter_smoother_batched")
+    trans = as_transition(cond_m_cov)
+    h_idx = _one_hot_index(H)
+    B, T = yss.shape
+    dtype = yss.dtype
+    d = m0.shape[-1]
+
+    xi = jnp.asarray(sgps.xi, dtype)
+    w = jnp.asarray(sgps.w, dtype)
+    sw = jnp.sqrt(w)
+    sqrt_Xi = jnp.sqrt(jnp.asarray(Xi, dtype))
+    L0 = jnp.linalg.cholesky(P0).astype(dtype)
+    Lq = jnp.linalg.cholesky(trans.cov_const(dt)).astype(dtype)
+    LqT = jnp.broadcast_to(Lq.T[:, :, None], (d, d, B))
+    zeros_dd = jnp.zeros((d, d, B), dtype)
+    m_init = jnp.broadcast_to(m0.astype(dtype)[:, None], (d, B))
+    L_init = jnp.broadcast_to(L0[:, :, None], (d, d, B))
+
+    # xiw = sqrt(w) * xi has ORTHONORMAL columns (sum_s w xi xi^T = I for
+    # every implemented rule), so dev_prev = xiw @ L^T exactly and the
+    # joint pre-array collapses: project dev_pred onto span(xiw)
+    # (coefficients A), triangularize only the orthogonal remainder
+    # (S rows x d cols -- the same size as the plain filter's pre-array),
+    # and finish with a tiny (3d, 2d) triangularization.  Same Gram,
+    # ~4x fewer Householder column-updates on the S-row block than the
+    # naive (S+d, 2d) joint array.
+    xiw = sw[:, None] * xi                                # (S, d)
+
+    def fstep(carry, y):
+        m, L, nll = carry
+        chi = m[None] + jnp.einsum("sj,ijb->sib", xi, L)
+        mu = trans.mean_channels_first(chi, dt)
+        mp = jnp.einsum("s,sib->ib", w, mu)
+        dev_pred = sw[:, None, None] * (mu - mp[None])
+        A = jnp.einsum("sp,sib->pib", xiw, dev_pred)      # (d, d, B)
+        dev_perp = dev_pred - jnp.einsum("sp,pib->sib", xiw, A)
+        E = tria_cf(dev_perp)                             # (d, d, B)
+        M = jnp.concatenate([
+            jnp.concatenate([E, zeros_dd], axis=1),
+            jnp.concatenate([A, jnp.swapaxes(L, 0, 1)], axis=1),
+            jnp.concatenate([LqT, zeros_dd], axis=1),
+        ], axis=0)                                        # (3d, 2d, B)
+        R = tria_cf(M)                                    # (2d, 2d, B)
+        Up = R[:d, :d]
+        X = _backsub_cf(Up, R[:d, d:], d)                 # gain G = X^T
+        mf, Lf, inc = _update_cf(mp, Up, h_idx, sqrt_Xi, y)
+        nll = nll + inc
+        if return_factors:
+            return (mf, Lf, nll), (mf, Lf, nll, mp, X, R[d:, d:])
+        G = jnp.swapaxes(X, 0, 1)
+        u = m - jnp.einsum("ijb,jb->ib", G, mp)
+        R22 = R[d:, d:]
+        D = jnp.einsum("kib,kjb->ijb", R22, R22)
+        # One packed (d(2d+1), B) row per step: stacking separate
+        # (T, d, d, B) outputs lets XLA's layout assignment pick d as the
+        # minor (lane) dimension and pad 4 -> 128, a 32x HBM blow-up at
+        # production sizes; packed rows keep B minor.
+        packed = jnp.concatenate(
+            [u, G.reshape(d * d, B), D.reshape(d * d, B)], axis=0)
+        return (mf, Lf, nll), (nll, packed)
+
+    init = (m_init, L_init, jnp.zeros((B,), dtype))
+
+    if return_factors:
+        (_, _, _), (mfs, Lfs, nlls, mps, Xs, R22s) = jax.lax.scan(
+            fstep, init, yss.T)
+
+        def bstep(carry, elem):
+            ms, Ls = carry
+            mf_prev, mp, X, R22 = elem
+            G = jnp.swapaxes(X, 0, 1)
+            ms = mf_prev + jnp.einsum("ijb,jb->ib", G, ms - mp)
+            GLs = jnp.einsum("ijb,jkb->ikb", G, Ls)
+            Ls = jnp.swapaxes(
+                tria_cf(jnp.concatenate([jnp.swapaxes(GLs, 0, 1), R22],
+                                        axis=0)), 0, 1)
+            return (ms, Ls), (ms, Ls)
+
+        # Element k of the backward scan smooths time k: it pairs mf_k
+        # with the joint quantities computed at filter iteration k+1.
+        elems = (mfs[:-1], mps[1:], Xs[1:], R22s[1:])
+        _, (mss, Lss) = jax.lax.scan(bstep, (mfs[-1], Lfs[-1]), elems,
+                                     reverse=True)
+        mss = jnp.concatenate([mss, mfs[-1][None]])
+        Lss = jnp.concatenate([Lss, Lfs[-1][None]])
+        return mss, Lss, nlls
+
+    (mf_T, Lf_T, _), (nlls, packs) = jax.lax.scan(fstep, init, yss.T)
+
+    # The maps emitted at iteration t smooth time t-1 given time t, so
+    # backward element k uses row k+1; rows are read with
+    # dynamic_index_in_dim inside the body (top-level slicing of the
+    # stacked output triggers the same lane-padded relayout).
+    def bstep_cov(carry, k):
+        ms, Ps = carry
+        row = jax.lax.dynamic_index_in_dim(packs, k + 1, 0, keepdims=False)
+        u = row[:d]
+        G = row[d:d + d * d].reshape(d, d, B)
+        D = row[d + d * d:].reshape(d, d, B)
+        ms = u + jnp.einsum("ijb,jb->ib", G, ms)
+        Ps = D + jnp.einsum(
+            "ikb,kjb->ijb", G, jnp.einsum("ikb,jkb->ijb", Ps, G))
+        return (ms, Ps), (ms, Ps)
+
+    Pf_T = jnp.einsum("ikb,jkb->ijb", Lf_T, Lf_T)
+    _, (mss, Pss) = jax.lax.scan(bstep_cov, (mf_T, Pf_T),
+                                 jnp.arange(T - 1), reverse=True)
+    mss = jnp.concatenate([mss, mf_T[None]])
+    Pss = jnp.concatenate([Pss, Pf_T[None]])
+    return mss, Pss, nlls
+
+
+def _chol_cf(P: jnp.ndarray, d: int, eps: float = 1e-30) -> jnp.ndarray:
+    """Channels-first unrolled Cholesky: P (d, d, B) SPD per lane ->
+    lower L (d, d, B).  The sqrt argument is clamped at ``eps`` so a lane
+    whose matrix has gone (slightly) indefinite through f32 roundoff
+    yields a degenerate factor instead of NaN."""
+    rows = [[None] * d for _ in range(d)]
+    for j in range(d):
+        acc = P[j, j]
+        for k in range(j):
+            acc = acc - rows[j][k] * rows[j][k]
+        Ljj = jnp.sqrt(jnp.maximum(acc, eps))
+        rows[j][j] = Ljj
+        inv = 1.0 / Ljj
+        for i in range(j + 1, d):
+            acc = P[i, j]
+            for k in range(j):
+                acc = acc - rows[i][k] * rows[j][k]
+            rows[i][j] = acc * inv
+    zero = jnp.zeros_like(P[0, 0])
+    return jnp.stack([
+        jnp.stack([rows[i][j] if j <= i else zero for j in range(d)])
+        for i in range(d)])
+
+
+def _spd_solve_cf(Lp: jnp.ndarray, C: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Solve G (Lp Lp^T) = C per lane: G = C Lp^{-T} Lp^{-1} with
+    ``Lp`` (d, d, B) lower, ``C`` (d, d, B); two unrolled substitutions
+    acting on the columns of C^T."""
+    # Y Lp^T = C  ->  forward substitution on columns of Y.
+    Y = [None] * d
+    for j in range(d):
+        acc = C[:, j]
+        for k in range(j):
+            acc = acc - Y[k] * Lp[j, k][None]
+        Y[j] = acc / Lp[j, j][None]
+    # G Lp = Y -> back substitution.
+    G = [None] * d
+    for j in range(d - 1, -1, -1):
+        acc = Y[j]
+        for k in range(j + 1, d):
+            acc = acc - G[k] * Lp[k, j][None]
+        G[j] = acc / Lp[j, j][None]
+    return jnp.stack(G, axis=1)                           # (d, d, B)
+
+
+def cov_sgp_filter_smoother_batched(cond_m_cov, sgps: SigmaPoints, H, Xi,
+                                    m0, P0, dt, yss
+                                    ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                               jnp.ndarray]:
+    """Fused batched sigma-point filter + smoother in covariance form --
+    the high-throughput option.
+
+    Per step the sqrt path pays ~30 sequential Householder column-update
+    ops on the (S+d)-row pre-array; this path replaces them with ONE
+    weighted Gram contraction (``Pp = dev^T diag(w) dev + Q``, PSD by
+    construction) plus an unrolled channels-first Cholesky on tiny
+    (d, d, B) tiles, and propagates plain covariances.  f32-safety comes
+    from the Gram construction (never a K S K^T subtraction for the
+    prediction) plus a clamped Cholesky diagonal; the measurement update
+    ``Pf = Pp - p_h p_h^T / s`` is the exact Schur complement, PSD up to
+    roundoff.  Validated against the sqrt path; for ill-conditioned
+    models prefer ``sqrt_sgp_filter_smoother_batched``.
+
+    Returns ``(mss (T, d, B), Pss (T, d, d, B) full covariances, nll
+    (T, B) cumulative)``.  Note: covariances, not Cholesky factors.
+    """
+    _require_nonneg_weights(sgps, "cov_sgp_filter_smoother_batched")
+    trans = as_transition(cond_m_cov)
+    h_idx = _one_hot_index(H)
+    B, T = yss.shape
+    dtype = yss.dtype
+    d = m0.shape[-1]
+
+    xi = jnp.asarray(sgps.xi, dtype)                      # (S, d)
+    w = jnp.asarray(sgps.w, dtype)                        # (S,)
+    wxi = w[:, None] * xi                                 # (S, d)
+    Xi_s = jnp.asarray(Xi, dtype)
+    Qc = trans.cov_const(dt).astype(dtype)[:, :, None]    # (d, d, 1)
+    m_init = jnp.broadcast_to(m0.astype(dtype)[:, None], (d, B))
+    P_init = jnp.broadcast_to(P0.astype(dtype)[:, :, None], (d, d, B))
+
+    # The backward recursion is affine in the smoothed moments:
+    #   ms_k = u_{k+1} + G_{k+1} ms_{k+1},
+    #   Ps_k = D_{k+1} + G_{k+1} Ps_{k+1} G_{k+1}^T,
+    # with u = mf - G mp and D = Pf - G Pp G^T.  The forward scan emits
+    # (u, G, D) directly, shifted one step so the backward scan consumes
+    # them without host-side reslicing (no extra (T, d, d, B) copies).
+    def fstep(carry, y):
+        m, P, nll = carry
+        L = _chol_cf(P, d)
+        chi = m[None] + jnp.einsum("sj,ijb->sib", xi, L)
+        mu = trans.mean_channels_first(chi, dt)
+        mp = jnp.einsum("s,sib->ib", w, mu)
+        dev = mu - mp[None]                               # (S, d, B)
+        Pp = jnp.einsum("sib,s,sjb->ijb", dev, w, dev) + Qc
+        # Cross-cov C = Cov[x_{k-1}, x_k] = L @ A with
+        # A = sum_s w xi_s dev_s^T (chi - m = L xi_s).
+        A = jnp.einsum("sp,sjb->pjb", wxi, dev)
+        C = jnp.einsum("ikb,kjb->ijb", L, A)
+        Lp = _chol_cf(Pp, d)
+        G = _spd_solve_cf(Lp, C, d)                       # C Pp^{-1}
+        u = m - jnp.einsum("ijb,jb->ib", G, mp)
+        W = jnp.einsum("ikb,kjb->ijb", G, Lp)
+        D = P - jnp.einsum("ikb,jkb->ijb", W, W)
+        s = Pp[h_idx, h_idx] + Xi_s                       # (B,)
+        p_h = Pp[:, h_idx]                                # (d, B)
+        innov = y - mp[h_idx]
+        mf = mp + p_h * (innov / s)[None]
+        Pf = Pp - p_h[:, None, :] * p_h[None, :, :] / s[None, None]
+        nll = nll + 0.5 * (_LOG_2PI + jnp.log(s) + innov ** 2 / s)
+        return (mf, Pf, nll), (nll, u, G, D)
+
+    init = (m_init, P_init, jnp.zeros((B,), dtype))
+    (mf_T, Pf_T, _), (nlls, us, Gs, Ds) = jax.lax.scan(fstep, init, yss.T)
+    # The maps emitted at filter iteration t smooth time t-1 given time t;
+    # backward element k in [0, T-2] therefore uses iteration k+1's maps.
+    us, Gs, Ds = us[1:], Gs[1:], Ds[1:]
+
+    def bstep(carry, elem):
+        ms, Ps = carry
+        u, G, D = elem
+        ms = u + jnp.einsum("ijb,jb->ib", G, ms)
+        Ps = D + jnp.einsum(
+            "ikb,kjb->ijb", G, jnp.einsum("ikb,jkb->ijb", Ps, G))
+        return (ms, Ps), (ms, Ps)
+
+    _, (mss, Pss) = jax.lax.scan(bstep, (mf_T, Pf_T), (us, Gs, Ds),
+                                 reverse=True)
+    mss = jnp.concatenate([mss, mf_T[None]])
+    Pss = jnp.concatenate([Pss, Pf_T[None]])
+    return mss, Pss, nlls
 
 
 def gaussian_expectation_batched(ms, stds, func=None, order: int = 10):

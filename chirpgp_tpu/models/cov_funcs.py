@@ -19,7 +19,7 @@ from chirpgp_tpu.utils.sim import simulate_sde, simulate_function_parametrised_s
 __all__ = [
     "transition_harmonic_sde", "marginal_cov_harmonic_sde", "cov_harmonic_sde",
     "vmap_marginal_cov_harmonic_sde", "vmap_cov_harmonic_sde",
-    "approx_cov_chirp_sde", "approx_cond_cov_chirp_sde",
+    "approx_cov_chirp_sde", "approx_cond_cov_chirp_sde", "psd_chirp_sde",
 ]
 
 
@@ -114,3 +114,39 @@ def approx_cond_cov_chirp_sde(ts, lam, b, ell, sigma, delta, num_mcs,
 
     key, _ = jax.random.split(key)
     return vs, _monte_carlo_cov_of_sde(gen_trajectory, T, key, num_mcs)
+
+
+def psd_chirp_sde(ts, lam, b, ell, sigma, delta, num_mcs, key
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """MC power-spectral-density estimate of the chirp-SDE signal
+    component X1.
+
+    The reference left this unimplemented (``chirpgp/cov_funcs.py:213-215``
+    is a TODO stub); here it is a Hann-windowed averaged periodogram
+    (Welch with one segment per MC realization): simulate ``num_mcs``
+    trajectories, window, batched real FFT on device, average
+    ``|X(f)|^2``.  Returns ``(freqs (T//2+1,), psd (T//2+1,))`` with the
+    one-sided density convention (interior bins doubled), in units of
+    power per Hz.
+    """
+    _, _, m0, P0, _ = model_chirp(lam, b, ell, sigma, delta)
+    m_and_cov = disc_chirp_lcd(lam, b, ell, sigma)
+    dt = ts[1] - ts[0]
+    T = ts.shape[0]
+
+    keys = jax.random.split(key, num_mcs)
+    trajs = jax.vmap(
+        lambda k: simulate_sde(m_and_cov, m0, P0, dt, T, k,
+                               const_diag_cov=False))(keys)    # (N, T, d)
+    xs = trajs[:, :, 0]
+    window = 0.5 * (1.0 - jnp.cos(
+        2.0 * jnp.pi * jnp.arange(T, dtype=xs.dtype) / T))     # Hann
+    spec = jnp.fft.rfft(xs * window[None, :], axis=-1)         # (N, T//2+1)
+    scale = dt / jnp.sum(window ** 2)
+    psd = scale * jnp.mean(jnp.abs(spec) ** 2, axis=0)
+    n_bins = psd.shape[0]
+    doubling = jnp.where(
+        (jnp.arange(n_bins) > 0) & (jnp.arange(n_bins) < n_bins - 1 + (T % 2)),
+        2.0, 1.0).astype(psd.dtype)
+    freqs = jnp.fft.rfftfreq(T, d=dt).astype(psd.dtype)
+    return freqs, psd * doubling

@@ -78,3 +78,37 @@ def test_batched_expectation_matches_1d():
     for b in range(4):
         ref = gaussian_expectation_1d(ms[:, b], stds[:, b])
         npt.assert_allclose(out[:, b], ref, rtol=1e-10)
+
+
+def test_fused_filter_smoother_matches_separate():
+    """The fused joint-triangularization path reproduces the separate
+    filter-then-smoother path exactly (same Gram algebra)."""
+    from chirpgp_tpu.infer.batched import sqrt_sgp_filter_smoother_batched
+
+    dt, Xi, yss, pack = _chirp_setup(B=4, T=90)
+    rule = gauss_hermite(4, 3)
+    args = (pack.m_and_cov, rule, pack.H, Xi, pack.m0, pack.P0, dt, yss)
+    mfs, Lfs, nll = sqrt_sgp_filter_batched(*args)
+    mss, Lss = sqrt_sgp_smoother_batched(pack.m_and_cov, rule, mfs, Lfs, dt)
+    mss2, Lss2, nll2 = sqrt_sgp_filter_smoother_batched(*args)
+    npt.assert_allclose(nll2, nll, rtol=1e-9, atol=1e-10)
+    npt.assert_allclose(mss2, mss, rtol=1e-7, atol=1e-9)
+    P1 = jnp.einsum("tikb,tjkb->tijb", Lss, Lss)
+    P2 = jnp.einsum("tikb,tjkb->tijb", Lss2, Lss2)
+    npt.assert_allclose(P2, P1, rtol=1e-6, atol=1e-9)
+
+
+def test_cov_filter_smoother_matches_sqrt():
+    """The covariance-form fused path reproduces the sqrt path (f64)."""
+    from chirpgp_tpu.infer.batched import (
+        sqrt_sgp_filter_smoother_batched, cov_sgp_filter_smoother_batched)
+
+    dt, Xi, yss, pack = _chirp_setup(B=4, T=90)
+    rule = gauss_hermite(4, 3)
+    args = (pack.m_and_cov, rule, pack.H, Xi, pack.m0, pack.P0, dt, yss)
+    mss, Lss, nll = sqrt_sgp_filter_smoother_batched(*args)
+    Pss_sqrt = jnp.einsum("tikb,tjkb->tijb", Lss, Lss)
+    mss2, Pss2, nll2 = cov_sgp_filter_smoother_batched(*args)
+    npt.assert_allclose(nll2, nll, rtol=1e-9, atol=1e-9)
+    npt.assert_allclose(mss2, mss, rtol=1e-7, atol=1e-9)
+    npt.assert_allclose(Pss2, Pss_sqrt, rtol=1e-6, atol=1e-9)

@@ -99,3 +99,21 @@ def test_mc_cov_matches_closed_form_stationary_block():
     # :157): rescale to interpret as a covariance.
     vv = np.asarray(surf[25, 25, 2, 2]) * (50 - 1) / 4000
     npt.assert_allclose(vv, sigma ** 2, rtol=0.15)
+
+
+def test_psd_chirp_sde_peaks_at_prior_frequency():
+    """PSD estimate (reference left it as a TODO stub,
+    ``chirpgp/cov_funcs.py:213-215``): with a tight Matern prior the chirp
+    oscillates at ~g(0) Hz and the averaged periodogram must peak there."""
+    from chirpgp_tpu.models.cov_funcs import psd_chirp_sde
+
+    lam, b, ell, sigma, delta = 0.2, 0.05, 1.0, 0.01, 1e-4
+    dt, T = 0.01, 1024
+    ts = jnp.linspace(dt, dt * T, T)
+    freqs, psd = psd_chirp_sde(ts, lam, b, ell, sigma, delta,
+                               num_mcs=256, key=jax.random.PRNGKey(7))
+    assert freqs.shape == psd.shape == (T // 2 + 1,)
+    assert bool(jnp.all(psd >= 0.0))
+    f_peak = float(freqs[jnp.argmax(psd)])
+    f_expected = math.log(2.0)  # g(0) = softplus(0)
+    assert abs(f_peak - f_expected) < 0.2, (f_peak, f_expected)
