@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from chirpgp_tpu.apps.pipeline import IFEstimationConfig, make_nll_fn, _filter_fns
-from chirpgp_tpu.fit.mle import lbfgs_minimize
+from chirpgp_tpu.fit.mle import lbfgs_minimize, lbfgs_minimize_stepped
 from chirpgp_tpu.models import g
 from chirpgp_tpu.quad import gaussian_expectation_1d
 from chirpgp_tpu.toymodels import (
@@ -35,6 +35,7 @@ from chirpgp_tpu.toymodels import (
 from chirpgp_tpu.utils import rmse
 
 __all__ = ["generate_rnd_keys", "toymodel_measurements", "mc_mle_sweep",
+           "mc_mle_sweep_stepped", "mle_sweep_on_measurements",
            "print_rmse_table", "MAGNITUDES"]
 
 
@@ -124,6 +125,64 @@ def mc_mle_sweep(cfg: IFEstimationConfig, keys: jnp.ndarray, mag_name: str,
         out = sharded_seed_sweep(per_seed, keys, mesh)
     else:
         out = jax.jit(jax.vmap(per_seed))(keys)
+    return {k: np.asarray(v) for k, v in jax.device_get(out).items()}
+
+
+def mc_mle_sweep_stepped(cfg: IFEstimationConfig, keys: jnp.ndarray,
+                         mag_name: str, T: int = 3141,
+                         init_theta: Optional[jnp.ndarray] = None,
+                         verbose: bool = False) -> Dict[str, np.ndarray]:
+    """:func:`mc_mle_sweep` restructured for the tunneled-TPU dispatch
+    budget: the batched L-BFGS advances one iteration per device dispatch
+    (:func:`chirpgp_tpu.fit.mle.lbfgs_minimize_stepped`) instead of one
+    monolithic while_loop, so no single XLA program runs for minutes.
+    Same per-seed math and NaN-on-divergence semantics.
+    """
+    nh = cfg.num_harmonics if cfg.model == "harmonic" else 1
+    gen = partial(toymodel_measurements, mag_name=mag_name, dt=cfg.dt,
+                  T=T, Xi=cfg.Xi, num_harmonics=nh)
+    ts, true_freqs, ys = jax.jit(jax.vmap(gen))(keys)
+    return mle_sweep_on_measurements(cfg, true_freqs, ys,
+                                     init_theta=init_theta, verbose=verbose)
+
+
+def mle_sweep_on_measurements(cfg: IFEstimationConfig,
+                              true_freqs: jnp.ndarray, ys: jnp.ndarray,
+                              init_theta: Optional[jnp.ndarray] = None,
+                              verbose: bool = False) -> Dict[str, np.ndarray]:
+    """Host-stepped batched MLE sweep over pre-generated measurement
+    batches ``(B, T)`` -- lets callers mix scenarios (e.g. all three
+    magnitude cases) in ONE batched L-BFGS program."""
+    if init_theta is None:
+        init_theta = cfg.default_init_theta()
+    flt, smt = _filter_fns(cfg)
+    v_idx = -2 if cfg.model == "harmonic" else 2
+
+    def nll(theta, ys_i):
+        return make_nll_fn(cfg, ys_i)(theta)
+
+    theta0 = jnp.broadcast_to(init_theta, (ys.shape[0],) + init_theta.shape)
+    opt = lbfgs_minimize_stepped(nll, theta0, batch_args=(ys,),
+                                 max_iters=cfg.max_iters, verbose=verbose)
+
+    def estimate(theta, tf_i, ys_i, success):
+        params = g(theta)
+        pack = cfg.build(params)
+        mfs, Pfs, _ = flt(pack, ys_i)
+        mss, Pss = smt(pack, mfs, Pfs)
+        v_mean = mss[:, v_idx]
+        if cfg.form == "sqrt":
+            v_std = jnp.linalg.norm(Pss[:, v_idx, :], axis=-1)
+        else:
+            v_std = jnp.sqrt(Pss[:, v_idx, v_idx])
+        if_mean = gaussian_expectation_1d(
+            v_mean, v_std, order=cfg.expectation_order) * cfg.freq_scale
+        err = rmse(tf_i, if_mean)
+        return dict(rmse=jnp.where(success, err, jnp.nan), params=params,
+                    success=success)
+
+    out = jax.jit(jax.vmap(estimate))(opt.params, true_freqs, ys,
+                                      opt.success)
     return {k: np.asarray(v) for k, v in jax.device_get(out).items()}
 
 

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import optax
 import optax.tree_utils as otu
 
-__all__ = ["lbfgs_minimize", "scipy_minimize", "MLEResult"]
+__all__ = ["lbfgs_minimize", "lbfgs_minimize_stepped", "scipy_minimize",
+           "MLEResult"]
 
 
 class MLEResult(NamedTuple):
@@ -97,6 +98,88 @@ def lbfgs_minimize(fun: Callable, init_params, max_iters: int = 200,
         if count < bound or err < tol:
             break
     return finish(params, state)
+
+
+def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
+                           max_iters: int = 200, tol: float = 1e-6,
+                           memory_size: int = 15,
+                           max_linesearch_steps: int = 15,
+                           verbose: bool = False) -> MLEResult:
+    """Batched L-BFGS advanced ONE iteration per device dispatch.
+
+    ``fun(params, *args)`` is the per-seed scalar objective;
+    ``init_params`` has a leading batch axis, as does every entry of
+    ``batch_args``.  All seeds step in lockstep under ``vmap``; seeds
+    whose gradient norm drops below ``tol`` (or goes non-finite) are
+    frozen via masking so they neither move nor spend line searches.
+
+    Rationale: a monolithic ``lax.while_loop`` L-BFGS over a T~3000
+    filter is one minutes-long XLA dispatch, which the experimental axon
+    TPU tunnel kills (PARITY.md backend notes).  Host-stepping one
+    batched iteration per dispatch matches the short-dispatch cadence of
+    the robust SciPy path while keeping every seed on-device -- the same
+    optimizer math as :func:`lbfgs_minimize`, sliced differently in time.
+    Results per seed are identical to a vmapped monolithic run up to the
+    freezing of converged seeds.
+    """
+    opt = optax.lbfgs(
+        memory_size=memory_size,
+        linesearch=optax.scale_by_zoom_linesearch(
+            max_linesearch_steps=max_linesearch_steps))
+
+    def one_step(params, state, args, still_going):
+        fun_i = lambda p: fun(p, *args)
+        value_and_grad = optax.value_and_grad_from_state(fun_i)
+        count = otu.tree_get(state, "count")
+        grad0 = otu.tree_get(state, "grad")
+        err = otu.tree_norm(grad0)
+        active = still_going & ((count == 0) | (err >= tol))
+
+        value, grad = value_and_grad(params, state=state)
+        updates, new_state = opt.update(grad, state, params, value=value,
+                                        grad=grad, value_fn=fun_i)
+        new_params = optax.apply_updates(params, updates)
+        sel = lambda a, b: jnp.where(active, a, b)
+        params = jax.tree.map(sel, new_params, params)
+        state = jax.tree.map(sel, new_state, state)
+        return params, state, active
+
+    import numpy as np
+
+    step_j = jax.jit(jax.vmap(one_step, in_axes=(0, 0, 0, 0)))
+    B = jax.tree.leaves(init_params)[0].shape[0]
+    params = init_params
+    state = jax.vmap(opt.init)(init_params)
+    # Host-side stall freeze: scipy L-BFGS-B's ftol rule adapted to f32 --
+    # a seed whose NLL improves by < ftol_rel * max(1, |f|) for `patience`
+    # consecutive iterations has converged for all practical purposes
+    # (f32 gradient norms rarely reach a fixed small tol).
+    ftol_rel, patience = 1e-6, 3
+    best = np.full((B,), np.inf)
+    stall = np.zeros((B,), dtype=np.int64)
+    still_going = jnp.ones((B,), dtype=bool)
+    for it in range(max_iters):
+        params, state, active = step_j(params, state, batch_args,
+                                       still_going)
+        vals = np.asarray(jax.device_get(otu.tree_get(state, "value")))
+        with np.errstate(invalid="ignore"):   # NaN seeds never "improve"
+            improved = vals < best - ftol_rel * np.maximum(1.0, np.abs(best))
+        stall = np.where(improved, 0, stall + 1)
+        best = np.minimum(best, vals)
+        active_np = np.asarray(jax.device_get(active))
+        still_going = jnp.asarray(active_np & (stall < patience))
+        n_active = int(np.sum(np.asarray(jax.device_get(still_going))))
+        if verbose:
+            print(f"  lbfgs iter {it + 1}: active={n_active} "
+                  f"median_nll={float(np.nanmedian(vals)):.3f}",
+                  flush=True)
+        if n_active == 0:
+            break
+
+    value = otu.tree_get(state, "value")
+    count = otu.tree_get(state, "count")
+    finite = jnp.isfinite(value) & jnp.all(jnp.isfinite(params), axis=-1)
+    return MLEResult(params, value, count, finite)
 
 
 def scipy_minimize(fun: Callable, init_params, method: str = "L-BFGS-B",

@@ -48,6 +48,12 @@ def main():
     ap.add_argument("--out", default="./results")
     ap.add_argument("--form", default="cov", choices=["cov", "sqrt"])
     ap.add_argument("--x64", action="store_true")
+    ap.add_argument("--max-iters", type=int, default=200)
+    ap.add_argument("--stepped", action="store_true",
+                    help="host-stepped batched L-BFGS (one short dispatch "
+                         "per iteration; all magnitudes in one batch) -- "
+                         "the robust mode on the tunneled single-chip TPU "
+                         "backend (PARITY.md backend notes)")
     args = ap.parse_args()
 
     if args.x64:
@@ -61,14 +67,49 @@ def main():
 
     methods = sorted(METHOD_CONFIGS) if args.methods == ["all"] \
         else args.methods
-    mesh = make_mesh()
-    n_dev = mesh.devices.size
     keys = generate_rnd_keys(max(args.seeds, 1))[:args.seeds]
-    keys, n_real = pad_to_multiple(keys, n_dev)
 
     all_results = {}
+    if args.stepped:
+        import functools
+        import jax.numpy as jnp
+        from chirpgp_tpu.apps.sweeps import (
+            mle_sweep_on_measurements, toymodel_measurements)
+
+        for method in methods:
+            cfg = IFEstimationConfig(form=args.form,
+                                     max_iters=args.max_iters,
+                                     **METHOD_CONFIGS[method])
+            nh = cfg.num_harmonics if cfg.model == "harmonic" else 1
+            tf_parts, ys_parts = [], []
+            for mag in args.mags:
+                gen = functools.partial(
+                    toymodel_measurements, mag_name=mag, dt=cfg.dt,
+                    T=args.T, Xi=cfg.Xi, num_harmonics=nh)
+                _, tf, ys = jax.jit(jax.vmap(gen))(keys)
+                tf_parts.append(tf)
+                ys_parts.append(ys)
+            res = mle_sweep_on_measurements(
+                cfg, jnp.concatenate(tf_parts), jnp.concatenate(ys_parts),
+                verbose=True)
+            n = keys.shape[0]
+            by_mag = {}
+            for i, mag in enumerate(args.mags):
+                r = {k: v[i * n:(i + 1) * n] for k, v in res.items()}
+                path = save_results(r, method, mag, args.out)
+                print(f"saved {path}", flush=True)
+                by_mag[mag] = r
+            all_results[method] = by_mag
+        print_rmse_table(all_results)
+        return
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    keys, n_real = pad_to_multiple(keys, n_dev)
+
     for method in methods:
-        cfg = IFEstimationConfig(form=args.form, **METHOD_CONFIGS[method])
+        cfg = IFEstimationConfig(form=args.form, max_iters=args.max_iters,
+                                 **METHOD_CONFIGS[method])
         by_mag = {}
         for mag in args.mags:
             res = mc_mle_sweep(cfg, keys, mag, T=args.T, mesh=mesh)

@@ -73,3 +73,45 @@ def test_sweep_shard_invariance():
     res_vmap = mc_mle_sweep(cfg, keys, "const", T=200, mesh=None)
     npt.assert_allclose(res_mesh["rmse"], res_vmap["rmse"],
                         rtol=1e-6, atol=1e-8)
+
+
+def test_stepped_sweep_matches_monolithic():
+    """Host-stepped batched L-BFGS sweep (the tunneled-TPU robust mode)
+    agrees with the monolithic vmapped while_loop sweep."""
+    from chirpgp_tpu.apps.sweeps import mc_mle_sweep_stepped
+
+    keys = generate_rnd_keys(4)
+    cfg = IFEstimationConfig(method="ekfs", max_iters=30)
+    res_step = mc_mle_sweep_stepped(cfg, keys, "const", T=250)
+    res_mono = mc_mle_sweep(cfg, keys, "const", T=250, mesh=None)
+    assert res_step["rmse"].shape == (4,)
+    assert np.all(res_step["success"])
+    # Same optimum up to line-search path differences / stall freezing.
+    npt.assert_allclose(res_step["rmse"], res_mono["rmse"],
+                        rtol=0.05, atol=5e-3)
+
+
+def test_stepped_sweep_mixed_measurements():
+    """mle_sweep_on_measurements runs mixed-scenario batches (the
+    all-magnitudes-in-one-program mode) and keeps per-seed pairing."""
+    from chirpgp_tpu.apps.sweeps import (
+        mle_sweep_on_measurements, toymodel_measurements)
+    import functools
+
+    keys = generate_rnd_keys(2)
+    cfg = IFEstimationConfig(method="ekfs", max_iters=25)
+    tfs, yss = [], []
+    for mag in ("const", "damped"):
+        gen = functools.partial(toymodel_measurements, mag_name=mag,
+                                dt=cfg.dt, T=250, Xi=cfg.Xi)
+        _, tf, ys = jax.jit(jax.vmap(gen))(keys)
+        tfs.append(tf)
+        yss.append(ys)
+    res = mle_sweep_on_measurements(cfg, jnp.concatenate(tfs),
+                                    jnp.concatenate(yss))
+    assert res["rmse"].shape == (4,)
+    # Per-magnitude halves must equal the single-magnitude stepped runs.
+    from chirpgp_tpu.apps.sweeps import mc_mle_sweep_stepped
+    res_const = mc_mle_sweep_stepped(cfg, keys, "const", T=250)
+    npt.assert_allclose(res["rmse"][:2], res_const["rmse"],
+                        rtol=1e-5, atol=1e-6)
