@@ -145,11 +145,56 @@ def plot_estimation(outdir):
     print("wrote", path)
 
 
+def plot_estimation_harmonic(outdir):
+    """Harmonic-chirp (K=3) IF-estimation overlay (ref
+    plot_estimation_harmonic.py): cubature filter/smoother on a
+    3-harmonic toymodel chirp, fixed default params."""
+    import jax
+    import jax.numpy as jnp
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from chirpgp_tpu.apps import IFEstimationConfig, estimate_if
+    from chirpgp_tpu.models import g
+    from chirpgp_tpu.toymodels import (
+        gen_harmonic_chirp, constant_mag, meow_freq)
+
+    dt, T, Xi, K = 1e-3, 3141, 0.1, 3
+    ts = jnp.linspace(dt, dt * T, T)
+    freq_func, phase_func = meow_freq(offset=8.0)
+    key = jax.random.PRNGKey(555)
+    mags = [constant_mag(1.0 / (k + 1)) for k in range(K)]
+    ys = gen_harmonic_chirp(ts, mags, phase_func) \
+        + math.sqrt(Xi) * jax.random.normal(key, (T,))
+    cfg = IFEstimationConfig(dt=dt, Xi=Xi, method="ghfs", model="harmonic",
+                             num_harmonics=K, quadrature="cubature")
+    est = estimate_if(cfg, g(cfg.default_init_theta()), ys)
+
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.plot(np.asarray(ts), np.asarray(freq_func(ts)), "--",
+            label="true fundamental IF")
+    ax.plot(np.asarray(ts), np.asarray(est["if_mean"]), "k",
+            label="posterior mean")
+    ax.fill_between(np.asarray(ts), np.asarray(est["if_lower"]),
+                    np.asarray(est["if_upper"]), color="k", alpha=0.15,
+                    edgecolor="none")
+    ax.legend()
+    ax.set_xlabel("t [s]")
+    ax.set_ylabel("IF [Hz]")
+    path = os.path.join(outdir, "estimation_harmonic.png")
+    fig.savefig(path, dpi=130)
+    plt.close(fig)
+    print("wrote", path)
+
+
 PLOTS = {
     "samples": plot_chirp_samples,
     "cov": plot_cov_harmonic,
     "cond_cov": plot_cond_cov_chirp,
     "estimation": plot_estimation,
+    "estimation_harmonic": plot_estimation_harmonic,
 }
 
 

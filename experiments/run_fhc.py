@@ -1,0 +1,84 @@
+"""FHC (harmonic-chirp NLS) Monte-Carlo sweep.
+
+Reference counterpart: ``tetralith/jobs/fhc.m`` batches the MATLAB
+``fhc_estimator`` over a parcluster and the table printer reads the
+resulting ``.mat`` files (``print_rmse_table.py:41-46``).  Here the
+estimator is the in-framework JAX grid NLS
+(:func:`chirpgp_tpu.baselines.fhc.fhc_pitch_track`), run over the same
+pregenerated-key harmonic-chirp data with the fastF0NLS window protocol
+(length 300, hop 5, median smoothing), RMSE against the true IF at the
+window centres.
+
+Usage:
+    python experiments/run_fhc.py --seeds 100 --num-harmonics 3
+"""
+
+# Allow running straight from a source checkout (no pip install).
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=100)
+    ap.add_argument("--T", type=int, default=3141)
+    ap.add_argument("--num-harmonics", type=int, default=3)
+    ap.add_argument("--window-length", type=int, default=300)
+    ap.add_argument("--hop", type=int, default=5)
+    ap.add_argument("--mags", nargs="+",
+                    default=["const", "damped", "random"])
+    ap.add_argument("--out", default="./results")
+    ap.add_argument("--platform", default="cpu")
+    args = ap.parse_args()
+    if args.platform:
+        import jax as _jax
+        _jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+
+    from chirpgp_tpu.apps import generate_rnd_keys, toymodel_measurements
+    from chirpgp_tpu.apps.sweeps import print_rmse_table
+    from chirpgp_tpu.baselines.fastnls import median_smooth, force_odd
+    from chirpgp_tpu.baselines.fhc import fhc_pitch_track
+    from chirpgp_tpu.toymodels import meow_freq
+    from chirpgp_tpu.utils import rmse
+
+    dt, T = 1e-3, args.T
+    fs = 1.0 / dt
+    freq_func, _ = meow_freq(offset=8.0)
+    keys = generate_rnd_keys(args.seeds)
+    os.makedirs(args.out, exist_ok=True)
+    wl, overlap = args.window_length, args.window_length - args.hop
+
+    all_results = {}
+    for mag in args.mags:
+        rmses = []
+        for k in np.asarray(keys):
+            _, _, ys = toymodel_measurements(
+                jnp.asarray(k), mag, dt=dt, T=T,
+                num_harmonics=args.num_harmonics)
+            times, f0s = fhc_pitch_track(np.asarray(ys), fs,
+                                         args.num_harmonics,
+                                         window_length=wl,
+                                         window_overlap=overlap)
+            smoothed = median_smooth(f0s, force_odd(round(wl / 10)))
+            err = rmse(jnp.asarray(smoothed),
+                       freq_func(jnp.asarray(times)))
+            rmses.append(float(err))
+        res = dict(rmse=np.asarray(rmses))
+        np.savez(os.path.join(args.out, f"fhc_{mag}.npz"), **res)
+        all_results.setdefault("fhc", {})[mag] = res
+        print(f"fhc {mag}: median rmse {np.nanmedian(res['rmse']):.4f}",
+              flush=True)
+
+    print_rmse_table(all_results)
+
+
+if __name__ == "__main__":
+    main()
