@@ -60,6 +60,11 @@ class IFEstimationConfig:
     optimizer: str = "scipy"      # scipy (host L-BFGS-B) | lbfgs (in-JAX)
     max_iters: int = 200
     chunk_iters: int = 0          # >0: host-chunked L-BFGS dispatches
+    # Stall-freeze rule of the stepped batched L-BFGS (see
+    # fit.mle.lbfgs_minimize_stepped); tighten ftol_rel toward scipy's
+    # ~2.2e-9 when parity with a monolithic/scipy run matters.
+    ftol_rel: float = 1e-6
+    stall_patience: int = 3
     expectation_order: int = 10   # GH order for E[g(V)]
     form: str = "cov"             # cov | sqrt (float32-safe QR forms; ghfs/ekfs only)
 

@@ -77,9 +77,10 @@ def toymodel_measurements(key, mag_name: str, dt: float = 1e-3,
     if num_harmonics == 1:
         chirp = gen_chirp(ts, mag, phase_func)
     else:
-        mags = [mag] + [constant_mag(1.0 / (k + 1))
-                        for k in range(1, num_harmonics)]
-        chirp = gen_harmonic_chirp(ts, mags, phase_func)
+        # Reference harmonic jobs give EVERY overtone the same magnitude
+        # function (``tetralith/jobs/harmonic_ckfs_mle.py:37``:
+        # ``gen_harmonic_chirp(ts, [mag] * num_harmonics, ...)``).
+        chirp = gen_harmonic_chirp(ts, [mag] * num_harmonics, phase_func)
     ys = chirp + math.sqrt(Xi) * jax.random.normal(key_noise, (T,))
     return ts, freq_func(ts), ys
 
@@ -163,7 +164,10 @@ def mle_sweep_on_measurements(cfg: IFEstimationConfig,
 
     theta0 = jnp.broadcast_to(init_theta, (ys.shape[0],) + init_theta.shape)
     opt = lbfgs_minimize_stepped(nll, theta0, batch_args=(ys,),
-                                 max_iters=cfg.max_iters, verbose=verbose)
+                                 max_iters=cfg.max_iters,
+                                 ftol_rel=cfg.ftol_rel,
+                                 patience=cfg.stall_patience,
+                                 verbose=verbose)
 
     def estimate(theta, tf_i, ys_i, success):
         params = g(theta)

@@ -104,6 +104,7 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
                            max_iters: int = 200, tol: float = 1e-6,
                            memory_size: int = 15,
                            max_linesearch_steps: int = 15,
+                           ftol_rel: float = 1e-6, patience: int = 3,
                            verbose: bool = False) -> MLEResult:
     """Batched L-BFGS advanced ONE iteration per device dispatch.
 
@@ -111,7 +112,15 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
     ``init_params`` has a leading batch axis, as does every entry of
     ``batch_args``.  All seeds step in lockstep under ``vmap``; seeds
     whose gradient norm drops below ``tol`` (or goes non-finite) are
-    frozen via masking so they neither move nor spend line searches.
+    frozen -- their updates are masked out (under lockstep vmap every
+    dispatch still evaluates the objective and line search for frozen
+    lanes; only the results are discarded).
+
+    ``ftol_rel``/``patience`` control the host-side stall freeze: a seed
+    whose NLL improves by less than ``ftol_rel * max(1, |f|)`` for
+    ``patience`` consecutive iterations is frozen.  The default 1e-6 is
+    looser than scipy L-BFGS-B's ftol (~2.2e-9); tighten it when parity
+    with a monolithic/scipy run matters more than sweep wall-time.
 
     Rationale: a monolithic ``lax.while_loop`` L-BFGS over a T~3000
     filter is one minutes-long XLA dispatch, which the experimental axon
@@ -154,7 +163,6 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
     # a seed whose NLL improves by < ftol_rel * max(1, |f|) for `patience`
     # consecutive iterations has converged for all practical purposes
     # (f32 gradient norms rarely reach a fixed small tol).
-    ftol_rel, patience = 1e-6, 3
     best = np.full((B,), np.inf)
     stall = np.zeros((B,), dtype=np.int64)
     still_going = jnp.ones((B,), dtype=bool)

@@ -22,18 +22,32 @@ import argparse
 import jax
 
 
+# One entry per SSM column of the reference's Table I
+# (``paper_plots_tables/print_rmse_table.py:14-16`` single-chirp block and
+# ``:93-96`` harmonic block; the classical/native baselines hilbert /
+# spectrogram / poly / anf / fastf0nls / fhc / kpt have their own runners).
+# "form" is the per-method default covariance representation: the QR
+# square-root form is the float32-safe TPU path and is used wherever the
+# method supports it; the CD (continuous-discrete RK4 moment-ODE) variants
+# run in covariance form.
 METHOD_CONFIGS = {
     # method name -> IFEstimationConfig kwargs
-    "ghfs": dict(method="ghfs"),
-    "ekfs": dict(method="ekfs"),
+    "ghfs": dict(method="ghfs", form="sqrt"),
+    "ekfs": dict(method="ekfs", form="sqrt"),
+    # CKFS = sigma-point filter with the spherical-cubature rule on the
+    # chirp model (the reference table's ckfs_mle column).
+    "ckfs": dict(method="ghfs", quadrature="cubature", form="sqrt"),
     "cd_ghfs": dict(method="cd_ghfs"),
     "cd_ekfs": dict(method="cd_ekfs"),
-    "lascala_ghfs": dict(method="ghfs", model="lascala"),
-    "lascala_ekfs": dict(method="ekfs", model="lascala"),
-    "harmonic_ghfs": dict(method="ghfs", model="harmonic",
-                          num_harmonics=3, quadrature="cubature"),
+    "lascala_ghfs": dict(method="ghfs", model="lascala", form="sqrt"),
+    "lascala_ekfs": dict(method="ekfs", model="lascala", form="sqrt"),
     "harmonic_ekfs": dict(method="ekfs", model="harmonic",
-                          num_harmonics=3),
+                          num_harmonics=3, form="sqrt"),
+    # harmonic CKFS: cubature sigma points on the K=3 harmonic model
+    # (d=8; reference ``harmonic_ckfs_mle.py:27``).
+    "harmonic_ckfs": dict(method="ghfs", model="harmonic",
+                          num_harmonics=3, quadrature="cubature",
+                          form="sqrt"),
 }
 
 
@@ -46,18 +60,34 @@ def main():
     ap.add_argument("--mags", nargs="+",
                     default=["const", "damped", "random"])
     ap.add_argument("--out", default="./results")
-    ap.add_argument("--form", default="cov", choices=["cov", "sqrt"])
+    ap.add_argument("--form", default=None, choices=["cov", "sqrt"],
+                    help="override the per-method default form")
     ap.add_argument("--x64", action="store_true")
     ap.add_argument("--max-iters", type=int, default=200)
     ap.add_argument("--stepped", action="store_true",
-                    help="host-stepped batched L-BFGS (one short dispatch "
-                         "per iteration; all magnitudes in one batch) -- "
-                         "the robust mode on the tunneled single-chip TPU "
-                         "backend (PARITY.md backend notes)")
+                    help="force the host-stepped batched L-BFGS (one short "
+                         "dispatch per iteration; all magnitudes in one "
+                         "batch)")
+    ap.add_argument("--monolithic", action="store_true",
+                    help="force the monolithic while_loop L-BFGS sweep "
+                         "(one long dispatch; known to crash the tunneled "
+                         "axon TPU worker -- PARITY.md backend notes)")
+    ap.add_argument("--data-dir", default=None,
+                    help="load pregenerated measurement data "
+                         "(experiments/gen_toymodel_data.py) instead of "
+                         "generating on-device -- guarantees bit-exact "
+                         "seed pairing with the reference-regeneration "
+                         "parity runs (stepped mode only)")
     args = ap.parse_args()
 
     if args.x64:
         jax.config.update("jax_enable_x64", True)
+
+    # The robust stepped optimizer is the DEFAULT everywhere except when
+    # explicitly overridden: on the tunneled TPU backend the monolithic
+    # minutes-long while_loop dispatch can kill the worker (VERDICT r1 #7).
+    if not args.monolithic:
+        args.stepped = True
 
     from chirpgp_tpu.apps import (
         IFEstimationConfig, generate_rnd_keys, mc_mle_sweep,
@@ -77,16 +107,27 @@ def main():
             mle_sweep_on_measurements, toymodel_measurements)
 
         for method in methods:
-            cfg = IFEstimationConfig(form=args.form,
-                                     max_iters=args.max_iters,
-                                     **METHOD_CONFIGS[method])
+            kwargs = dict(METHOD_CONFIGS[method])
+            if args.form:
+                kwargs["form"] = args.form
+            cfg = IFEstimationConfig(max_iters=args.max_iters, **kwargs)
             nh = cfg.num_harmonics if cfg.model == "harmonic" else 1
             tf_parts, ys_parts = [], []
             for mag in args.mags:
-                gen = functools.partial(
-                    toymodel_measurements, mag_name=mag, dt=cfg.dt,
-                    T=args.T, Xi=cfg.Xi, num_harmonics=nh)
-                _, tf, ys = jax.jit(jax.vmap(gen))(keys)
+                if args.data_dir:
+                    import numpy as np
+                    prefix = "toydata" if nh == 1 else f"toydata_h{nh}"
+                    data = np.load(_os.path.join(
+                        args.data_dir, f"{prefix}_{mag}.npz"))
+                    ys = jnp.asarray(data["ys"][:args.seeds])
+                    tf = jnp.broadcast_to(
+                        jnp.asarray(data["true_freqs"]),
+                        (ys.shape[0], ys.shape[1]))
+                else:
+                    gen = functools.partial(
+                        toymodel_measurements, mag_name=mag, dt=cfg.dt,
+                        T=args.T, Xi=cfg.Xi, num_harmonics=nh)
+                    _, tf, ys = jax.jit(jax.vmap(gen))(keys)
                 tf_parts.append(tf)
                 ys_parts.append(ys)
             res = mle_sweep_on_measurements(
@@ -108,8 +149,10 @@ def main():
     keys, n_real = pad_to_multiple(keys, n_dev)
 
     for method in methods:
-        cfg = IFEstimationConfig(form=args.form, max_iters=args.max_iters,
-                                 **METHOD_CONFIGS[method])
+        kwargs = dict(METHOD_CONFIGS[method])
+        if args.form:
+            kwargs["form"] = args.form
+        cfg = IFEstimationConfig(max_iters=args.max_iters, **kwargs)
         by_mag = {}
         for mag in args.mags:
             res = mc_mle_sweep(cfg, keys, mag, T=args.T, mesh=mesh)
