@@ -16,11 +16,13 @@ import jax
 import jax.numpy as jnp
 
 from chirpgp_tpu.toymodels import gen_chirp
-from chirpgp_tpu.fit.gauss_newton import gauss_newton, levenberg_marquardt
+from chirpgp_tpu.fit.gauss_newton import (
+    gauss_newton, levenberg_marquardt, gauss_newton_while,
+    levenberg_marquardt_while)
 
 __all__ = ["hilbert_transform", "hilbert_method", "mean_power_spectrum",
-           "mle_polynomial", "adaptive_notch_filter", "tukey_window",
-           "butter_lowpass"]
+           "mle_polynomial", "mle_polynomial_batched",
+           "adaptive_notch_filter", "tukey_window", "butter_lowpass"]
 
 
 def butter_lowpass(ys, cutoff_hz: float, fs: float, order: int = 8):
@@ -106,17 +108,10 @@ def mean_power_spectrum(ts: jnp.ndarray, ys: jnp.ndarray,
     return times + ts[0], est
 
 
-def mle_polynomial(ts: jnp.ndarray, ys: jnp.ndarray, Xi,
-                   init_params: jnp.ndarray,
-                   method: str = "levenberg_marquardt",
-                   *args, **kwargs) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    r"""MLE of a polynomial-IF chirp ``y = alpha sin(2 pi zeta(t))``
-    (reference ``classical_methods.py:119-193``).
-
-    ``init_params = [alpha, c_0, ..., c_n]`` with the IF polynomial
-    ``f(t) = sum c_k t^k`` and phase ``zeta(t) = sum c_k t^{k+1}/(k+1)``.
-    """
-    n = init_params.shape[0] - 2
+def _poly_chirp_fn(ts: jnp.ndarray, num_params: int) -> Callable:
+    """params = [alpha, c_0..c_n] -> alpha * sin(2 pi zeta(t)) with
+    zeta the antiderivative of the IF polynomial sum c_k t^k."""
+    n = num_params - 2
     if n < 0:
         raise ValueError("init_params must have at least 2 entries.")
     alien = jnp.array([1.0 / (j + 1) for j in range(n + 1)])
@@ -129,6 +124,44 @@ def mle_polynomial(ts: jnp.ndarray, ys: jnp.ndarray, Xi,
         alpha = params[0]
         cs = params[1:]
         return gen_chirp(ts, lambda _: alpha, lambda u: zeta(u, cs), 0.0)
+
+    return f
+
+
+def mle_polynomial_batched(ts: jnp.ndarray, yss: jnp.ndarray, Xi,
+                           init_params: jnp.ndarray,
+                           method: str = "levenberg_marquardt",
+                           max_iters: int = 100):
+    """Monte-Carlo-batched polynomial MLE: one jitted/vmapped
+    ``lax.while_loop`` LM (or GN) program over a batch of measurement
+    sequences ``yss`` (B, T) with per-seed inits ``init_params`` (B, P).
+    All seeds advance in lockstep; returns a batched
+    :class:`~chirpgp_tpu.fit.gauss_newton.NLSResult`.
+
+    Replaces the reference's per-seed host loop
+    (``tetralith/jobs/mle_polynomial.py``) with a single XLA program.
+    """
+    f = _poly_chirp_fn(ts, init_params.shape[-1])
+    solver = (gauss_newton_while if method == "gauss_newton"
+              else levenberg_marquardt_while)
+
+    def one(p0, ys):
+        return solver(f, p0, ys, Xi, max_iters=max_iters)
+
+    return jax.jit(jax.vmap(one))(init_params, yss)
+
+
+def mle_polynomial(ts: jnp.ndarray, ys: jnp.ndarray, Xi,
+                   init_params: jnp.ndarray,
+                   method: str = "levenberg_marquardt",
+                   *args, **kwargs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    r"""MLE of a polynomial-IF chirp ``y = alpha sin(2 pi zeta(t))``
+    (reference ``classical_methods.py:119-193``).
+
+    ``init_params = [alpha, c_0, ..., c_n]`` with the IF polynomial
+    ``f(t) = sum c_k t^k`` and phase ``zeta(t) = sum c_k t^{k+1}/(k+1)``.
+    """
+    f = _poly_chirp_fn(ts, init_params.shape[0])
 
     if method == "gauss_newton":
         return gauss_newton(f, init_params, ys, Xi, *args, **kwargs)

@@ -284,7 +284,15 @@ def sqrt_sgp_filter_smoother_batched(cond_m_cov, sgps: SigmaPoints, H, Xi,
         mf, Lf, inc = _update_cf(mp, Up, h_idx, sqrt_Xi, y)
         nll = nll + inc
         if return_factors:
-            return (mf, Lf, nll), (mf, Lf, nll, mp, X, R[d:, d:])
+            # Pack per-step (d, B)/(d, d, B) outputs into ONE
+            # (2d + 3d^2, B) row, exactly as the covariance branch below:
+            # stacking separate (T, d, d, B) scan outputs lets XLA pick d
+            # as the lane dimension and pad 4 -> 128 (a ~32x HBM blow-up
+            # at production sizes).
+            packed = jnp.concatenate(
+                [mf, mp, Lf.reshape(d * d, B), X.reshape(d * d, B),
+                 R[d:, d:].reshape(d * d, B)], axis=0)
+            return (mf, Lf, nll), (nll, packed)
         G = jnp.swapaxes(X, 0, 1)
         u = m - jnp.einsum("ijb,jb->ib", G, mp)
         R22 = R[d:, d:]
@@ -300,12 +308,23 @@ def sqrt_sgp_filter_smoother_batched(cond_m_cov, sgps: SigmaPoints, H, Xi,
     init = (m_init, L_init, jnp.zeros((B,), dtype))
 
     if return_factors:
-        (_, _, _), (mfs, Lfs, nlls, mps, Xs, R22s) = jax.lax.scan(
-            fstep, init, yss.T)
+        (mf_T, Lf_T, _), (nlls, packs) = jax.lax.scan(fstep, init, yss.T)
 
-        def bstep(carry, elem):
+        # Backward element k smooths time k: pair mf_k (row k) with the
+        # joint quantities computed at filter iteration k+1 (row k+1).
+        # Rows are read with dynamic_index_in_dim inside the body;
+        # top-level slicing of the stacked output would trigger the same
+        # lane-padded relayout the packing avoids.
+        def bstep(carry, k):
             ms, Ls = carry
-            mf_prev, mp, X, R22 = elem
+            row_k = jax.lax.dynamic_index_in_dim(packs, k, 0,
+                                                 keepdims=False)
+            row_k1 = jax.lax.dynamic_index_in_dim(packs, k + 1, 0,
+                                                  keepdims=False)
+            mf_prev = row_k[:d]
+            mp = row_k1[d:2 * d]
+            X = row_k1[2 * d + d * d:2 * d + 2 * d * d].reshape(d, d, B)
+            R22 = row_k1[2 * d + 2 * d * d:].reshape(d, d, B)
             G = jnp.swapaxes(X, 0, 1)
             ms = mf_prev + jnp.einsum("ijb,jb->ib", G, ms - mp)
             GLs = jnp.einsum("ijb,jkb->ikb", G, Ls)
@@ -314,13 +333,10 @@ def sqrt_sgp_filter_smoother_batched(cond_m_cov, sgps: SigmaPoints, H, Xi,
                                         axis=0)), 0, 1)
             return (ms, Ls), (ms, Ls)
 
-        # Element k of the backward scan smooths time k: it pairs mf_k
-        # with the joint quantities computed at filter iteration k+1.
-        elems = (mfs[:-1], mps[1:], Xs[1:], R22s[1:])
-        _, (mss, Lss) = jax.lax.scan(bstep, (mfs[-1], Lfs[-1]), elems,
-                                     reverse=True)
-        mss = jnp.concatenate([mss, mfs[-1][None]])
-        Lss = jnp.concatenate([Lss, Lfs[-1][None]])
+        _, (mss, Lss) = jax.lax.scan(bstep, (mf_T, Lf_T),
+                                     jnp.arange(T - 1), reverse=True)
+        mss = jnp.concatenate([mss, mf_T[None]])
+        Lss = jnp.concatenate([Lss, Lf_T[None]])
         return mss, Lss, nlls
 
     (mf_T, Lf_T, _), (nlls, packs) = jax.lax.scan(fstep, init, yss.T)
@@ -350,17 +366,20 @@ def sqrt_sgp_filter_smoother_batched(cond_m_cov, sgps: SigmaPoints, H, Xi,
 
 def _chol_cf(P: jnp.ndarray, d: int, eps: float = 1e-30) -> jnp.ndarray:
     """Channels-first unrolled Cholesky: P (d, d, B) SPD per lane ->
-    lower L (d, d, B).  The sqrt argument is clamped at ``eps`` so a lane
-    whose matrix has gone (slightly) indefinite through f32 roundoff
-    yields a degenerate factor instead of NaN."""
+    lower L (d, d, B).  A lane whose pivot has gone non-positive through
+    f32 roundoff gets a TRULY degenerate factor: the diagonal is clamped
+    to sqrt(eps) and the column below the clamped pivot is zeroed (a
+    clamped pivot alone would put 1/sqrt(eps) ~ 1e15 into the
+    off-diagonal entries and blow up downstream anyway)."""
     rows = [[None] * d for _ in range(d)]
     for j in range(d):
         acc = P[j, j]
         for k in range(j):
             acc = acc - rows[j][k] * rows[j][k]
+        ok = acc > eps
         Ljj = jnp.sqrt(jnp.maximum(acc, eps))
         rows[j][j] = Ljj
-        inv = 1.0 / Ljj
+        inv = jnp.where(ok, 1.0 / Ljj, 0.0)
         for i in range(j + 1, d):
             acc = P[i, j]
             for k in range(j):

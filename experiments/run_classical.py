@@ -62,6 +62,34 @@ def main():
     for method in args.methods:
         by_mag = {}
         for mag in args.mags:
+            if method == "poly":
+                # Batched path: per-seed polyfit inits on host, then ONE
+                # vmapped while_loop LM program for all seeds.
+                from chirpgp_tpu.baselines import mle_polynomial_batched
+                yss, inits = [], []
+                for k in np.asarray(keys):
+                    _, _, ys = toymodel_measurements(
+                        jnp.asarray(k), mag, dt=dt, T=T, Xi=Xi)
+                    new_ts, rough = mean_power_spectrum(ts, ys)
+                    coeffs = np.polyfit(np.asarray(new_ts),
+                                        np.asarray(rough), 7)
+                    inits.append(np.concatenate([[1.0], coeffs[::-1]]))
+                    yss.append(np.asarray(ys))
+                res_b = mle_polynomial_batched(
+                    ts, jnp.asarray(np.stack(yss)), Xi,
+                    jnp.asarray(np.stack(inits)))
+                cs = np.asarray(res_b.params[:, 1:])   # (B, n+1)
+                powers = np.asarray(ts)[None, :, None] ** \
+                    np.arange(cs.shape[1])[None, None, :]
+                est_if = np.einsum("btk,bk->bt", powers, cs)
+                errs = np.sqrt(np.mean(
+                    (est_if - np.asarray(true_if)[None, :]) ** 2, axis=1))
+                res = dict(rmse=errs,
+                           converged=np.asarray(res_b.converged))
+                np.savez(os.path.join(args.out, f"{method}_{mag}.npz"),
+                         **res)
+                by_mag[mag] = res
+                continue
             rmses = []
             for k in np.asarray(keys):
                 key = jnp.asarray(k)
@@ -88,18 +116,6 @@ def main():
                         ts, env, 0.0, 8.0, 0.1 + 0.0j, mu, gamma_alpha,
                         gamma_w)
                     err = rmse(true_if, est)
-                elif method == "poly":
-                    new_ts, rough = mean_power_spectrum(ts, ys)
-                    coeffs = np.polyfit(np.asarray(new_ts),
-                                        np.asarray(rough), 7)
-                    init = jnp.concatenate(
-                        [jnp.array([1.0]),
-                         jnp.asarray(coeffs[::-1].copy())])
-                    params, _ = mle_polynomial(ts, ys, Xi, init)
-                    from chirpgp_tpu.toymodels import polynomial_freq
-                    poly_if, _ = polynomial_freq(
-                        list(np.asarray(params[1:])))
-                    err = rmse(true_if, poly_if(ts))
                 else:
                     raise ValueError(method)
                 rmses.append(float(err))

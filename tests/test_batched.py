@@ -3,6 +3,7 @@ sqrt filters/smoothers."""
 
 import math
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy.testing as npt
@@ -54,6 +55,7 @@ def test_batched_filter_matches_per_seed():
         npt.assert_allclose(P_b, P, rtol=1e-7, atol=1e-11)
 
 
+@pytest.mark.slow
 def test_batched_smoother_matches_per_seed():
     dt, Xi, yss, pack = _chirp_setup()
     rule = gauss_hermite(4, order=3)

@@ -3,6 +3,7 @@ the Butterworth prefilter."""
 
 import math
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -33,6 +34,7 @@ def test_harmonic_chirp_nls_linear_chirp():
     npt.assert_allclose(float(a), a_true, rtol=0.3, atol=2e-7)
 
 
+@pytest.mark.slow
 def test_fhc_pitch_track_affine_if():
     """Tracks an affine IF on a 2-harmonic chirp."""
     dt, T = 1e-3, 2500

@@ -118,6 +118,7 @@ def test_cd_sgp_match_kf_rts(lgssm):
     npt.assert_allclose(mss, lgssm["mss"], atol=5e-1)
 
 
+@pytest.mark.slow
 def test_parallel_kf_matches_sequential(lgssm):
     mfs, Pfs, nell = kf_parallel(lgssm["F"], lgssm["Sigma"], lgssm["H"], XI,
                                  lgssm["m0"], lgssm["P0"], lgssm["ys"])

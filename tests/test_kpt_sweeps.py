@@ -2,6 +2,7 @@
 
 import math
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -65,6 +66,7 @@ def test_mc_mle_sweep_small():
     assert "ekfs" in table
 
 
+@pytest.mark.slow
 def test_sweep_shard_invariance():
     """Sharded sweep equals unsharded vmap sweep."""
     keys = generate_rnd_keys(8)
@@ -75,6 +77,7 @@ def test_sweep_shard_invariance():
                         rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_stepped_sweep_matches_monolithic():
     """Host-stepped batched L-BFGS sweep (the tunneled-TPU robust mode)
     agrees with the monolithic vmapped while_loop sweep."""
@@ -91,6 +94,7 @@ def test_stepped_sweep_matches_monolithic():
                         rtol=0.05, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_stepped_sweep_mixed_measurements():
     """mle_sweep_on_measurements runs mixed-scenario batches (the
     all-magnitudes-in-one-program mode) and keeps per-seed pairing."""

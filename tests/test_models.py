@@ -117,6 +117,7 @@ def test_harmonic_reduces_to_chirp():
     npt.assert_allclose(c1, c2, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_lcd_vs_tme_small_dt():
     """LCD and TME order-3 agree at small dt (reference
     ``test/test_models.py:92-100``)."""

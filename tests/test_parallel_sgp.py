@@ -4,6 +4,7 @@ sequential SGP smoother on the chirp model."""
 
 import math
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -33,6 +34,7 @@ def _lgssm():
     return F, Sigma, H, m0, P0, ys
 
 
+@pytest.mark.slow
 def test_tv_parallel_equals_kf_rts_on_lti():
     F, Sigma, H, m0, P0, ys = _lgssm()
     mfs, Pfs, nll = kf(F, Sigma, H, XI, m0, P0, ys)
@@ -78,6 +80,7 @@ def test_psgp_equals_kf_on_lti():
     npt.assert_allclose(Pss2, Pss, rtol=1e-6, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_psgp_chirp_accuracy_vs_sequential():
     """On the canonical chirp config the iterated parallel smoother's IF
     estimate matches or beats the sequential SGP smoother."""

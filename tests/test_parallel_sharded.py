@@ -3,6 +3,7 @@ single-device associative scans on the 8-virtual-device mesh."""
 
 import math
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy.testing as npt
@@ -51,6 +52,7 @@ def test_time_sharded_smoother_matches():
     npt.assert_allclose(jax.device_get(Pss_s), Pss, rtol=1e-7, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_time_sharded_matches_unsharded_parallel():
     """Sharded and unsharded associative scans agree bit-tightly."""
     F, Sigma, H, m0, P0, ys = _data()

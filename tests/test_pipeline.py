@@ -39,6 +39,7 @@ def test_mle_pipeline_recovers_if(method):
     assert float(err) < 2.0, f"IF RMSE too high: {err}"
 
 
+@pytest.mark.slow
 def test_lbfgs_and_scipy_agree():
     """The in-JAX L-BFGS reaches an optimum at least as good as host SciPy
     L-BFGS-B on the filter NLL.  (SciPy may legitimately diverge on short
