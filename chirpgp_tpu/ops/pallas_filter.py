@@ -79,7 +79,7 @@ def _row(col, j: int):
 
 
 def ghfs_chirp_filter_pallas(params, Xi, dt, sgps: SigmaPoints, yss,
-                             chunk: int = 128,
+                             chunk: int = 128, bblock: int = 512,
                              interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused sqrt GHFS filter for the chirp model (d=4, H = e_1).
 
@@ -89,7 +89,14 @@ def ghfs_chirp_filter_pallas(params, Xi, dt, sgps: SigmaPoints, yss,
         (constrained space; concrete values).
     Xi, dt : floats.
     sgps : sigma-point rule for d=4.
-    yss : (B, T) float32 measurements; T must be a multiple of ``chunk``.
+    yss : (B, T) float32 measurements; T must be a multiple of ``chunk``
+        and B a multiple of ``bblock`` (or smaller than it).
+    bblock : lanes per grid step.  The kernel's working set is
+        O((S + d) * bblock) floats; blocking the batch axis keeps it a
+        few hundred KB of VMEM regardless of B (at B=4096 and GH-3 the
+        unblocked working set was ~20 MB -- beyond a v5e core's VMEM,
+        which is what broke Mosaic compilation at production shapes in
+        round 1).
 
     Returns ``(mfs (T, 4, B), Lfs (T, 4, 4, B), nll (T, B))`` -- the same
     contract as ``sqrt_sgp_filter_batched``.
@@ -100,6 +107,9 @@ def ghfs_chirp_filter_pallas(params, Xi, dt, sgps: SigmaPoints, yss,
     B, T = yss.shape
     if T % chunk:
         raise ValueError(f"T={T} must be a multiple of chunk={chunk}")
+    bblock = min(bblock, B)
+    if B % bblock:
+        raise ValueError(f"B={B} must be a multiple of bblock={bblock}")
     d = 4
     dtype = yss.dtype
     S = sgps.n_points
@@ -133,18 +143,23 @@ def ghfs_chirp_filter_pallas(params, Xi, dt, sgps: SigmaPoints, yss,
                       dtype)[:, None]                       # (4, 1)
     lq_cols = LqT.astype(dtype)                             # (4, 4): [:, i]
 
+    Bb = bblock
+
     def kernel(ys_ref, xi_ref, w_ref, sw_ref, lq_ref, l0_ref, m0_ref,
                mfs_ref, lfs_ref, nll_ref, m_scr, l_scr, nll_scr):
-        ones_b = jnp.ones((1, B), dtype)
+        ones_b = jnp.ones((1, Bb), dtype)
 
-        @pl.when(pl.program_id(0) == 0)
+        # Grid order is (batch-block, time-chunk) with time innermost:
+        # the filter carry in scratch is re-initialized at the start of
+        # each batch block's time sweep.
+        @pl.when(pl.program_id(1) == 0)
         def _init():
-            m_scr[:] = m0_ref[:] * jnp.ones((d, B), dtype)
-            l_scr[:] = l0_ref[:] * jnp.ones((16, B), dtype)
-            nll_scr[:] = jnp.zeros((1, B), dtype)
+            m_scr[:] = m0_ref[:] * jnp.ones((d, Bb), dtype)
+            l_scr[:] = l0_ref[:] * jnp.ones((16, Bb), dtype)
+            nll_scr[:] = jnp.zeros((1, Bb), dtype)
 
         def body(i, _):
-            y = ys_ref[i, :][None, :]                       # (1, B)
+            y = ys_ref[i, :][None, :]                       # (1, Bb)
             xi_c = xi_ref[:]                                # (S, 4)
             w_c = w_ref[:]                                  # (S, 1)
             sw_c = sw_ref[:]                                # (S, 1)
@@ -178,7 +193,7 @@ def ghfs_chirp_filter_pallas(params, Xi, dt, sgps: SigmaPoints, yss,
             cols = []
             for i0 in range(d):
                 dev = sw_c * (mu[i0] - mp[i0])
-                lq_col = lq_ref[:, i0:i0 + 1] * jnp.ones((1, B), dtype)
+                lq_col = lq_ref[:, i0:i0 + 1] * jnp.ones((1, Bb), dtype)
                 cols.append(jnp.concatenate([dev, lq_col], axis=0))
             cols = _tria_cols(cols, S + d)
             # Up[r, i] = cols[i][r] for r <= i.
@@ -187,7 +202,7 @@ def ghfs_chirp_filter_pallas(params, Xi, dt, sgps: SigmaPoints, yss,
             #   col0 = [sqrt(Xi); Up[:, 1]], col(1+k) = [0; Up[:, k]].
             up_col = lambda i0: jnp.concatenate(
                 [_row(cols[i0], r) for r in range(d)], axis=0)  # (4, B)
-            zero_b = jnp.zeros((1, B), dtype)
+            zero_b = jnp.zeros((1, Bb), dtype)
             ucols = [jnp.concatenate([sqrt_Xi * ones_b, up_col(1)], axis=0)]
             for k in range(d):
                 ucols.append(jnp.concatenate([zero_b, up_col(k)], axis=0))
@@ -221,7 +236,10 @@ def ghfs_chirp_filter_pallas(params, Xi, dt, sgps: SigmaPoints, yss,
 
         jax.lax.fori_loop(0, chunk, body, 0)
 
-    grid = (T // chunk,)
+    # 2-D grid: batch blocks outer, time chunks inner (TPU grids iterate
+    # the LAST axis fastest and sequentially, so the carry scratch is
+    # coherent across one batch block's whole time sweep).
+    grid = (B // bblock, T // chunk)
     out_shapes = (
         jax.ShapeDtypeStruct((T, d, B), dtype),
         jax.ShapeDtypeStruct((T, 16, B), dtype),
@@ -231,34 +249,34 @@ def ghfs_chirp_filter_pallas(params, Xi, dt, sgps: SigmaPoints, yss,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((chunk, B), lambda i: (i, 0),
+            pl.BlockSpec((chunk, bblock), lambda bi, ti: (ti, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, d), lambda i: (0, 0),
+            pl.BlockSpec((S, d), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 1), lambda i: (0, 0),
+            pl.BlockSpec((S, 1), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 1), lambda i: (0, 0),
+            pl.BlockSpec((S, 1), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, d), lambda i: (0, 0),
+            pl.BlockSpec((d, d), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 1), lambda i: (0, 0),
+            pl.BlockSpec((16, 1), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 1), lambda i: (0, 0),
+            pl.BlockSpec((d, 1), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((chunk, d, B), lambda i: (i, 0, 0),
+            pl.BlockSpec((chunk, d, bblock), lambda bi, ti: (ti, 0, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, 16, B), lambda i: (i, 0, 0),
+            pl.BlockSpec((chunk, 16, bblock), lambda bi, ti: (ti, 0, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, B), lambda i: (i, 0),
+            pl.BlockSpec((chunk, bblock), lambda bi, ti: (ti, bi),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((d, B), dtype),
-            pltpu.VMEM((16, B), dtype),
-            pltpu.VMEM((1, B), dtype),
+            pltpu.VMEM((d, bblock), dtype),
+            pltpu.VMEM((16, bblock), dtype),
+            pltpu.VMEM((1, bblock), dtype),
         ],
         interpret=interpret,
     )(yss.T, jnp.asarray(xi_cols), jnp.asarray(w_in), jnp.asarray(sw_in),
