@@ -61,10 +61,14 @@ class IFEstimationConfig:
     max_iters: int = 200
     chunk_iters: int = 0          # >0: host-chunked L-BFGS dispatches
     # Stall-freeze rule of the stepped batched L-BFGS (see
-    # fit.mle.lbfgs_minimize_stepped); tighten ftol_rel toward scipy's
-    # ~2.2e-9 when parity with a monolithic/scipy run matters.
-    ftol_rel: float = 1e-6
-    stall_patience: int = 3
+    # fit.mle.lbfgs_minimize_stepped).  Defaults match scipy L-BFGS-B's
+    # ftol (~2.2e-9) with patient stalling: the looser (1e-6, 3) rule
+    # froze hard OU-magnitude seeds on plateaus near the init that the
+    # reference's scipy runs escape (paired-seed diagnosis, round 2),
+    # e.g. seed 98 random: rmse x10 67.0 loose vs 7.4 tight vs 7.5
+    # reference.
+    ftol_rel: float = 1e-9
+    stall_patience: int = 10
     expectation_order: int = 10   # GH order for E[g(V)]
     form: str = "cov"             # cov | sqrt (float32-safe QR forms; ghfs/ekfs only)
 

@@ -63,7 +63,7 @@ def main():
     ap.add_argument("--form", default=None, choices=["cov", "sqrt"],
                     help="override the per-method default form")
     ap.add_argument("--x64", action="store_true")
-    ap.add_argument("--max-iters", type=int, default=200)
+    ap.add_argument("--max-iters", type=int, default=300)
     ap.add_argument("--stepped", action="store_true",
                     help="force the host-stepped batched L-BFGS (one short "
                          "dispatch per iteration; all magnitudes in one "
