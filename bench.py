@@ -88,29 +88,83 @@ def main():
 
     fn = jax.jit(fn_impl)
 
-    # Warm-up / compile
+    def time_call(f, *a):
+        out = f(*a)
+        jax.block_until_ready(jax.tree.leaves(out)[0])
+        times = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            out = f(*a)
+            jax.block_until_ready(jax.tree.leaves(out)[0])
+            times.append(time.perf_counter() - t0)
+        return min(times), out
+
+    # Warm-up / compile + headline timing (fused filter+smoother + IF).
     if_means, nlls = fn(yss)
     jax.block_until_ready(if_means)
     if not bool(jnp.all(jnp.isfinite(if_means))):
         print("WARNING: non-finite IF means in f32 benchmark run",
               file=sys.stderr)
-
-    times = []
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        if_means, nlls = fn(yss)
-        jax.block_until_ready(if_means)
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+    best, _ = time_call(fn, yss)
     steps_per_sec = BATCH * T / best
-    print(f"batch={BATCH} T={T} best={best:.4f}s "
-          f"times={[f'{t:.4f}' for t in times]}", file=sys.stderr)
+    print(f"batch={BATCH} T={T} best={best:.4f}s", file=sys.stderr)
+
+    # --- decomposition: filter-only and separate filter->smoother paths,
+    # and the fused gain at other batch sizes (VERDICT r1 item 10) ---
+    from chirpgp_tpu.infer.batched import (
+        sqrt_sgp_filter_batched, sqrt_sgp_smoother_batched)
+
+    def filter_only(yss_):
+        return sqrt_sgp_filter_batched(pack.m_and_cov, rule, H32, Xi32,
+                                       m032, P032, dt32, yss_)
+
+    def separate(yss_):
+        mfs, Lfs, nll = sqrt_sgp_filter_batched(
+            pack.m_and_cov, rule, H32, Xi32, m032, P032, dt32, yss_)
+        mss, Lss = sqrt_sgp_smoother_batched(pack.m_and_cov, rule, mfs,
+                                             Lfs, dt32)
+        return mss, nll
+
+    def fused(yss_):
+        return sqrt_sgp_filter_smoother_batched(
+            pack.m_and_cov, rule, H32, Xi32, m032, P032, dt32, yss_,
+            return_factors=False)
+
+    gains = {}
+    t_f, _ = time_call(jax.jit(filter_only), yss)
+    gains["filter_only_steps_per_sec"] = round(BATCH * T / t_f, 1)
+    t_sep, _ = time_call(jax.jit(separate), yss)
+    gains["separate_fs_steps_per_sec"] = round(BATCH * T / t_sep, 1)
+    gains["fused_gain_vs_separate_B4096"] = round(t_sep / best, 2)
+    for B2 in (1024, 8192):
+        yss2 = jnp.tile(yss, (max(B2 // BATCH, 1), 1))[:B2]
+        t_fu, _ = time_call(jax.jit(fused), yss2)
+        t_s2, _ = time_call(jax.jit(separate), yss2)
+        gains[f"fused_steps_per_sec_B{B2}"] = round(B2 * T / t_fu, 1)
+        gains[f"fused_gain_vs_separate_B{B2}"] = round(t_s2 / t_fu, 2)
+
+    # Rough roofline accounting (per seed-step, fused cov-output path):
+    # HBM traffic is the scan carry IO + per-step outputs, ~(2d + d^2
+    # carry + d + 2 d^2 + 1 outputs) f32 words ~= 57 * 4 B ~= 228 B/step;
+    # FLOPs are dominated by the S=81-point propagation + two
+    # triangularizations, ~1.1e4 FLOP/step.  At the measured rate the
+    # implied HBM draw and FLOP draw are both far below the v5e's
+    # 819 GB/s / 197 TFLOP/s peaks: the kernel is latency-bound on the
+    # sequential T-scan, which is why fusing the backward pass (fewer
+    # scans) wins wall-clock.
+    bytes_per_step = 228
+    flops_per_step = 1.1e4
+    gains["roofline_hbm_gbps_at_rate"] = round(
+        steps_per_sec * bytes_per_step / 1e9, 2)
+    gains["roofline_tflops_at_rate"] = round(
+        steps_per_sec * flops_per_step / 1e12, 3)
 
     result = {
         "metric": "ghfs_filter_smoother_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 1),
         "unit": "steps/sec/chip (batch=4096 seeds, T=3141, d=4, GH-3, f32, sqrt channels-first)",
         "vs_baseline": round(steps_per_sec / REFERENCE_BASELINE_STEPS_PER_SEC, 2),
+        **gains,
     }
     print(json.dumps(result))
 

@@ -72,7 +72,15 @@ def tukey_window(n: int, alpha: float = 0.25) -> jnp.ndarray:
     return w
 
 
-def _stft_psd(ys: jnp.ndarray, fs: float, nperseg: int, noverlap: int):
+def cosine_window(n: int) -> jnp.ndarray:
+    """Cosine (half-sine) window, matching
+    ``scipy.signal.windows.cosine`` (the reference spectrogram job's
+    window, ``tetralith/jobs/mean_spectrogram.py:39``)."""
+    return jnp.sin(math.pi / n * (jnp.arange(n) + 0.5))
+
+
+def _stft_psd(ys: jnp.ndarray, fs: float, nperseg: int, noverlap: int,
+              window: str = "tukey"):
     """One-sided PSD spectrogram with constant detrend and density scaling,
     matching ``scipy.signal.spectrogram`` defaults."""
     step = nperseg - noverlap
@@ -80,7 +88,8 @@ def _stft_psd(ys: jnp.ndarray, fs: float, nperseg: int, noverlap: int):
     idx = jnp.arange(n_frames)[:, None] * step + jnp.arange(nperseg)[None, :]
     frames = ys[idx]                                     # (F, nperseg)
     frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
-    win = tukey_window(nperseg)
+    win = cosine_window(nperseg) if window == "cosine" \
+        else tukey_window(nperseg)
     spec = jnp.fft.rfft(frames * win, axis=-1)           # (F, nfreq)
     scale = 1.0 / (fs * jnp.sum(win ** 2))
     psd = (spec.real ** 2 + spec.imag ** 2) * scale
@@ -97,13 +106,14 @@ def _stft_psd(ys: jnp.ndarray, fs: float, nperseg: int, noverlap: int):
 
 def mean_power_spectrum(ts: jnp.ndarray, ys: jnp.ndarray,
                         nperseg: int = 256,
-                        noverlap: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                        noverlap: Optional[int] = None,
+                        window: str = "tukey") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """IF as the first moment of the spectrogram PSD (reference
     ``classical_methods.py:89-116``); JAX-native STFT."""
     if noverlap is None:
         noverlap = nperseg // 8
     fs = 1.0 / (ts[1] - ts[0])
-    freqs, times, Sxx = _stft_psd(ys, fs, nperseg, noverlap)
+    freqs, times, Sxx = _stft_psd(ys, fs, nperseg, noverlap, window)
     est = jnp.sum(freqs[:, None] * Sxx, axis=0) / jnp.sum(Sxx, axis=0)
     return times + ts[0], est
 

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from chirpgp_tpu.infer.sqrt import _require_nonneg_weights
 from chirpgp_tpu.models.transitions import Transition, as_transition
 from chirpgp_tpu.quad.sigma_points import SigmaPoints
+from chirpgp_tpu.utils.numerics import psd_cholesky
 
 __all__ = ["tria_cf", "sqrt_sgp_filter_batched", "sqrt_sgp_smoother_batched",
            "sqrt_sgp_filter_smoother_batched", "cov_sgp_filter_smoother_batched",
@@ -125,7 +126,7 @@ def sqrt_sgp_filter_batched(cond_m_cov, sgps: SigmaPoints, H, Xi,
 
     sqrt_Xi = jnp.sqrt(jnp.asarray(Xi, dtype))
     L0 = jnp.linalg.cholesky(P0).astype(dtype)
-    Lq = jnp.linalg.cholesky(trans.cov_const(dt)).astype(dtype)
+    Lq = psd_cholesky(trans.cov_const(dt)).astype(dtype)
     LqT = jnp.broadcast_to(Lq.T[:, :, None], (d, d, B))
     m_init = jnp.broadcast_to(m0.astype(dtype)[:, None], (d, B))
     L_init = jnp.broadcast_to(L0[:, :, None], (d, d, B))
@@ -157,7 +158,7 @@ def sqrt_sgp_smoother_batched(cond_m_cov, sgps: SigmaPoints, mfs, Lfs,
     xi = jnp.asarray(sgps.xi, dtype)
     w = jnp.asarray(sgps.w, dtype)
     sw = jnp.sqrt(w)
-    Lq = jnp.linalg.cholesky(trans.cov_const(dt)).astype(dtype)
+    Lq = psd_cholesky(trans.cov_const(dt)).astype(dtype)
     LqT = jnp.broadcast_to(Lq.T[:, :, None], (d, d, B))
 
     def step(carry, elem):
@@ -248,7 +249,7 @@ def sqrt_sgp_filter_smoother_batched(cond_m_cov, sgps: SigmaPoints, H, Xi,
     sw = jnp.sqrt(w)
     sqrt_Xi = jnp.sqrt(jnp.asarray(Xi, dtype))
     L0 = jnp.linalg.cholesky(P0).astype(dtype)
-    Lq = jnp.linalg.cholesky(trans.cov_const(dt)).astype(dtype)
+    Lq = psd_cholesky(trans.cov_const(dt)).astype(dtype)
     LqT = jnp.broadcast_to(Lq.T[:, :, None], (d, d, B))
     zeros_dd = jnp.zeros((d, d, B), dtype)
     m_init = jnp.broadcast_to(m0.astype(dtype)[:, None], (d, B))

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from chirpgp_tpu.infer.common import log_normal_pdf
 from chirpgp_tpu.models.transitions import Transition, as_transition
 from chirpgp_tpu.quad.sigma_points import SigmaPoints
+from chirpgp_tpu.utils.numerics import psd_cholesky
 
 __all__ = ["tria", "sqrt_sgp_filter", "sqrt_sgp_smoother", "sqrt_ekf",
            "sqrt_eks", "sqrt_kf"]
@@ -135,8 +136,8 @@ def _sqrt_predict_sgp(sgps: SigmaPoints, trans: Transition, dt,
     sw = jnp.sqrt(sgps.w).astype(evals.dtype)[:, None]
     mp = jnp.einsum("s,sd->d", sgps.w.astype(evals.dtype), evals)
     dev = sw * (evals - mp)                                 # (S, d)
-    Lq = jnp.linalg.cholesky(trans.cov_const(dt)) if trans.const_cov \
-        else jnp.linalg.cholesky(
+    Lq = psd_cholesky(trans.cov_const(dt)) if trans.const_cov \
+        else psd_cholesky(
             jnp.einsum("s,sij->ij", sgps.w, trans.cov(chi, dt)))
     Lq = Lq.astype(evals.dtype)
     Up = tria(jnp.concatenate([dev, Lq.T], axis=0), tria_method)
@@ -221,8 +222,8 @@ def sqrt_sgp_smoother(cond_m_cov, sgps: SigmaPoints, mfs: jnp.ndarray,
         mp = jnp.einsum("s,sd->d", sgps.w.astype(evals.dtype), evals)
         dev_pred = sw_fn * (evals - mp)                      # (S, d)
         dev_prev = sw_fn * (chi - mf)                        # (S, d)
-        Lq = jnp.linalg.cholesky(trans.cov_const(dt)) if trans.const_cov \
-            else jnp.linalg.cholesky(
+        Lq = psd_cholesky(trans.cov_const(dt)) if trans.const_cov \
+            else psd_cholesky(
                 jnp.einsum("s,sij->ij", sgps.w, trans.cov(chi, dt)))
         Lq = Lq.astype(evals.dtype)
         # Joint triangularization: R^T R = [[Pp, D^T], [D, Pf]].
@@ -252,7 +253,7 @@ def sqrt_kf(F: jnp.ndarray, Sigma: jnp.ndarray, H: jnp.ndarray, Xi,
     ``qr([Lf^T F^T; Lq^T])``, update by the shared 1-D QR update."""
     sqrt_Xi = jnp.sqrt(jnp.asarray(Xi, m0.dtype))
     L0 = jnp.linalg.cholesky(P0)
-    Lq = jnp.linalg.cholesky(Sigma)
+    Lq = psd_cholesky(Sigma)
 
     def step(carry, y):
         mf, Lf, n_ell = carry
@@ -281,7 +282,7 @@ def sqrt_ekf(cond_m_cov, H: jnp.ndarray, Xi, m0: jnp.ndarray,
         F = jax.jacfwd(mean_fn)(mf)
         mp = mean_fn(mf)
         Sigma = trans.cov_const(dt) if trans.const_cov else trans.cov(mf, dt)
-        Lq = jnp.linalg.cholesky(Sigma).astype(mf.dtype)
+        Lq = psd_cholesky(Sigma).astype(mf.dtype)
         Up = tria(jnp.concatenate([(F @ Lf).T, Lq.T], axis=0))
         mf, Uf, inc = _sqrt_update_1d(mp, Up, H, sqrt_Xi, y)
         out = (mf, _chol_to_lower(Uf), n_ell + inc)
@@ -305,7 +306,7 @@ def sqrt_eks(cond_m_cov, mfs: jnp.ndarray, Lfs: jnp.ndarray,
         F = jax.jacfwd(mean_fn)(mf)
         mp = mean_fn(mf)
         Sigma = trans.cov_const(dt) if trans.const_cov else trans.cov(mf, dt)
-        Lq = jnp.linalg.cholesky(Sigma).astype(mf.dtype)
+        Lq = psd_cholesky(Sigma).astype(mf.dtype)
         M = jnp.concatenate([
             jnp.concatenate([(F @ Lf).T, Lf.T], axis=1),
             jnp.concatenate([Lq.T, jnp.zeros((d, d), mfs.dtype)], axis=1),

@@ -6,7 +6,7 @@ from chirpgp_tpu.utils.sim import (
     simulate_function_parametrised_sde)
 from chirpgp_tpu.utils.metrics import (
     rmse, fwd_transformed_pdf, chol_partial_const_diag)
-from chirpgp_tpu.utils.numerics import phi1, ou_variance
+from chirpgp_tpu.utils.numerics import phi1, ou_variance, psd_cholesky
 from chirpgp_tpu.utils.timing import (
     TimingResult, time_jitted, wall_timer, profile_trace)
 
@@ -15,6 +15,6 @@ __all__ = [
     "simulate_lgssm", "simulate_sde", "simulate_sde_init",
     "simulate_function_parametrised_sde",
     "rmse", "fwd_transformed_pdf", "chol_partial_const_diag",
-    "phi1", "ou_variance",
+    "phi1", "ou_variance", "psd_cholesky",
     "TimingResult", "time_jitted", "wall_timer", "profile_trace",
 ]

@@ -2,7 +2,7 @@
 
 import jax.numpy as jnp
 
-__all__ = ["phi1", "ou_variance"]
+__all__ = ["phi1", "ou_variance", "psd_cholesky"]
 
 
 def phi1(x: jnp.ndarray) -> jnp.ndarray:
@@ -26,3 +26,41 @@ def ou_variance(b, lam, dt):
     :math:`b^2 (1 - e^{-2\lambda dt}) / (2\lambda)`, smoothly equal to
     ``b^2 dt`` at ``lam = 0``."""
     return b ** 2 * dt * phi1(2.0 * lam * dt)
+
+
+def psd_cholesky(P, eps: float = 1e-30):
+    """Lower Cholesky-like factor of a PSD matrix that may be SINGULAR.
+
+    ``jnp.linalg.cholesky`` returns NaN on exactly-singular inputs (e.g.
+    the La Scala chirp model's conditional covariance, whose chirp block
+    has no dispersion -- reference ``models.py:181``); square-root
+    filters only need ANY factor with L L^T = P, and QR pre-arrays are
+    happy with zero rows.  This unrolled Cholesky zeroes the pivot and
+    its column when the pivot falls below ``eps`` (the same degenerate
+    contract as the batched channels-first kernels), so L L^T still
+    reproduces the nonsingular block exactly.  Differentiable: clamped
+    pivots contribute zero gradient.
+
+    Accepts (..., d, d); d must be static.
+    """
+    import jax.numpy as jnp
+
+    d = P.shape[-1]
+    rows = [[None] * d for _ in range(d)]
+    for j in range(d):
+        acc = P[..., j, j]
+        for k in range(j):
+            acc = acc - rows[j][k] * rows[j][k]
+        ok = acc > eps
+        Ljj = jnp.where(ok, jnp.sqrt(jnp.maximum(acc, eps)), 0.0)
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, Ljj, 1.0), 0.0)
+        rows[j][j] = Ljj
+        for i in range(j + 1, d):
+            acc2 = P[..., i, j]
+            for k in range(j):
+                acc2 = acc2 - rows[i][k] * rows[j][k]
+            rows[i][j] = acc2 * inv
+    zero = jnp.zeros_like(P[..., 0, 0])
+    return jnp.stack(
+        [jnp.stack([rows[i][j] if j <= i else zero for j in range(d)],
+                   axis=-1) for i in range(d)], axis=-2)

@@ -40,6 +40,11 @@ def main():
         _jax.config.update("jax_platforms", args.platform)
 
     import jax
+    # The reference runs every classical job in float64
+    # (``tetralith/jobs/hilbert.py:10`` etc.); the polynomial MLE in
+    # particular is catastrophically ill-conditioned in f32 (a degree-11
+    # polynomial evaluated at t up to 3.14 with +-2.6e3 coefficients).
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from chirpgp_tpu.apps import generate_rnd_keys, toymodel_measurements
@@ -63,21 +68,35 @@ def main():
         by_mag = {}
         for mag in args.mags:
             if method == "poly":
-                # Batched path: per-seed polyfit inits on host, then ONE
-                # vmapped while_loop LM program for all seeds.
+                # Batched path: ONE vmapped while_loop LM program for all
+                # seeds.  Init protocol mirrors the reference job
+                # (``tetralith/jobs/mle_polynomial.py:35-41``): a
+                # degree-11 polynomial fitted to the TRUE meow IF (the
+                # reference hardcodes MATLAB polyfit output from
+                # ``init_poly_coeffs.m``; we refit with numpy's
+                # domain-scaled Polynomial.fit) plus a 2e-5 relative
+                # Gaussian perturbation.
                 from chirpgp_tpu.baselines import mle_polynomial_batched
-                yss, inits = [], []
+                # No init perturbation: the reference adds 2e-5 relative
+                # noise with a FIXED key (same for every seed, so no MC
+                # diversity); with this fit's larger high-order
+                # coefficients the same relative noise detunes the chirp
+                # phase by whole cycles and throws LM out of the basin.
+                fit = np.polynomial.Polynomial.fit(
+                    np.asarray(ts), np.asarray(true_if), 11)
+                init = jnp.asarray(
+                    np.concatenate([[1.0], fit.convert().coef]))
+                base_init = np.asarray(init)
+                yss = []
                 for k in np.asarray(keys):
                     _, _, ys = toymodel_measurements(
                         jnp.asarray(k), mag, dt=dt, T=T, Xi=Xi)
-                    new_ts, rough = mean_power_spectrum(ts, ys)
-                    coeffs = np.polyfit(np.asarray(new_ts),
-                                        np.asarray(rough), 7)
-                    inits.append(np.concatenate([[1.0], coeffs[::-1]]))
                     yss.append(np.asarray(ys))
+                inits = np.broadcast_to(np.asarray(init),
+                                        (len(yss), len(base_init)))
                 res_b = mle_polynomial_batched(
                     ts, jnp.asarray(np.stack(yss)), Xi,
-                    jnp.asarray(np.stack(inits)))
+                    jnp.asarray(inits))
                 cs = np.asarray(res_b.params[:, 1:])   # (B, n+1)
                 powers = np.asarray(ts)[None, :, None] ** \
                     np.arange(cs.shape[1])[None, None, :]
@@ -96,25 +115,32 @@ def main():
                 _, _, ys = toymodel_measurements(key, mag, dt=dt, T=T,
                                                  Xi=Xi)
                 if method == "hilbert":
-                    # Reference prefilters with an order-8 Butterworth
-                    # lowpass (demos/classical_methods/hilbert.py:37-38).
-                    est = hilbert_method(ts, butter_lowpass(ys, 30.0, fs))
-                    err = rmse(true_if[:-1], est)
+                    # Reference job protocol: order-8 Butterworth lowpass
+                    # at 18 Hz, IF compared to true[1:]
+                    # (``tetralith/jobs/hilbert.py:35-39``).
+                    est = hilbert_method(ts, butter_lowpass(ys, 18.0, fs))
+                    err = rmse(true_if[1:], est)
                 elif method == "spectrogram":
+                    # Reference: same 18 Hz prefilter; cosine window,
+                    # nperseg=450, noverlap=449
+                    # (``tetralith/jobs/mean_spectrogram.py:35-39``).
                     new_ts, est = mean_power_spectrum(
-                        ts, butter_lowpass(ys, 30.0, fs))
+                        ts, butter_lowpass(ys, 18.0, fs), nperseg=450,
+                        noverlap=449, window="cosine")
                     err = rmse(freq_func(new_ts), est)
                 elif method == "anf":
                     key_noise, key_mag = jax.random.split(key)
                     env = gen_chirp_envelope(ts, _magnitude(mag, key_mag),
                                              phase_func) \
                         + math.sqrt(Xi) * jax.random.normal(key_noise, (T,))
+                    # Reference init: alpha0=0, w0=true IF at t=dt,
+                    # s0=1+0j (``tetralith/jobs/anf.py:36-37``).
                     mu = 0.015
                     gamma_w = mu ** 2 / 2
                     gamma_alpha = mu * gamma_w / 4
                     est, _, _ = adaptive_notch_filter(
-                        ts, env, 0.0, 8.0, 0.1 + 0.0j, mu, gamma_alpha,
-                        gamma_w)
+                        ts, env, 0.0, float(freq_func(jnp.asarray(dt))),
+                        1.0 + 0.0j, mu, gamma_alpha, gamma_w)
                     err = rmse(true_if, est)
                 else:
                     raise ValueError(method)

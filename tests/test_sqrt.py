@@ -113,3 +113,35 @@ def test_m32_sigma_f32_accuracy():
     _, S32 = m32_solution(jnp.float32(1.0), jnp.float32(1.0),
                           jnp.float32(1e-3))
     npt.assert_allclose(jnp.asarray(S32, jnp.float64), S64, rtol=1e-5)
+
+
+def test_sqrt_filter_handles_singular_process_noise_lascala():
+    """The La Scala model's conditional covariance is exactly singular
+    (no dispersion on the chirp block, reference ``models.py:181``);
+    the sqrt filters must produce finite results via the degenerate-safe
+    psd_cholesky rather than NaN (round-2 regression)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chirpgp_tpu.models import build_lascala_model, g, g_inv
+    from chirpgp_tpu.infer import sqrt_sgp_filter, sqrt_sgp_smoother
+    from chirpgp_tpu.quad import gauss_hermite
+    from chirpgp_tpu.utils.numerics import psd_cholesky
+
+    params = g(g_inv(jnp.array([0.1, 1.0, 1.0, 7.0])))
+    pack = build_lascala_model(params)
+    # psd_cholesky reproduces the singular covariance exactly.
+    _, C = pack.m_and_cov(pack.m0, 1e-3)
+    L = psd_cholesky(C)
+    np.testing.assert_allclose(np.asarray(L @ L.T), np.asarray(C),
+                               atol=1e-12)
+
+    ys = 0.3 * jax.random.normal(jax.random.PRNGKey(3), (200,))
+    sgps = gauss_hermite(4, 3)
+    mfs, Lfs, nll = sqrt_sgp_filter(pack.m_and_cov, sgps, pack.H, 0.1,
+                                    pack.m0, pack.P0, 1e-3, ys)
+    assert bool(jnp.all(jnp.isfinite(mfs)))
+    assert bool(jnp.isfinite(nll[-1]))
+    mss, Lss = sqrt_sgp_smoother(pack.m_and_cov, sgps, mfs, Lfs, 1e-3)
+    assert bool(jnp.all(jnp.isfinite(mss)))
