@@ -195,7 +195,64 @@ PLOTS = {
     "cond_cov": plot_cond_cov_chirp,
     "estimation": plot_estimation,
     "estimation_harmonic": plot_estimation_harmonic,
+    "crlb": lambda outdir: plot_crlb(outdir),
 }
+
+
+def plot_crlb(outdir, results_dir="./results", method="ekf"):
+    """Filter MSE vs time against the PCRLB over the (lam, b) grid
+    (paper Fig 5; reference jobs ``tetralith/jobs/crlb_{ekf,ghf}.py`` +
+    ``run_crlbs.sh:1-8``).  Reads the ``crlb_{method}_lam*_b*.npz``
+    files produced by ``experiments/run_crlb.py``."""
+    import glob
+    import re
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    files = sorted(glob.glob(
+        os.path.join(results_dir, f"crlb_{method}_lam*_b*.npz")))
+    if not files:
+        print(f"no crlb_{method}_*.npz in {results_dir}; run "
+              "experiments/run_crlb.py first")
+        return
+    lams = sorted({float(re.search(r"lam([\d.]+)_", f).group(1))
+                   for f in files})
+    bs = sorted({float(re.search(r"_b([\d.]+)\.npz", f).group(1))
+                 for f in files})
+    fig, axes = plt.subplots(len(lams), len(bs),
+                             figsize=(3.2 * len(bs), 2.6 * len(lams)),
+                             sharex=True, squeeze=False)
+    for i, lam in enumerate(lams):
+        for j, b in enumerate(bs):
+            ax = axes[i][j]
+            path = os.path.join(results_dir,
+                                f"crlb_{method}_lam{lam}_b{b}.npz")
+            if not os.path.exists(path):
+                ax.axis("off")
+                continue
+            d = np.load(path)
+            T = len(d["mean_err_v"])
+            ts = (np.arange(1, T + 1) *
+                  float(d["dt"]) if "dt" in d else
+                  np.arange(1, T + 1) * 0.01)
+            ax.semilogy(ts, d["mean_err_v"], "k",
+                        label="filter MSE (V)")
+            if "pcrlb_v" in d:
+                ax.semilogy(ts, d["pcrlb_v"][1:], "r--",
+                            label="PCRLB (V)")
+            ax.set_title(f"$\\lambda$={lam}, b={b}", fontsize=9)
+            if i == len(lams) - 1:
+                ax.set_xlabel("t (s)")
+            if j == 0:
+                ax.set_ylabel("MSE")
+    axes[0][0].legend(fontsize=7)
+    fig.tight_layout()
+    out = os.path.join(outdir, f"crlb_{method}.png")
+    fig.savefig(out, dpi=130)
+    print(f"wrote {out}")
 
 
 def main():

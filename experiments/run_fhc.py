@@ -9,7 +9,13 @@ pregenerated-key harmonic-chirp data with the fastF0NLS window protocol
 (length 300, hop 5, median smoothing), RMSE against the true IF at the
 window centres.
 
+The reference runs FHC twice (``fhc.m:25-46``): once on the single-chirp
+data with nHarmonics=1 (``fhc_*`` column) and once on the 3-harmonic data
+with nHarmonics=3 (``harmonic_fhc_*`` column); the output prefix follows
+the same convention here.
+
 Usage:
+    python experiments/run_fhc.py --seeds 100 --num-harmonics 1
     python experiments/run_fhc.py --seeds 100 --num-harmonics 3
 """
 
@@ -55,6 +61,7 @@ def main():
     keys = generate_rnd_keys(args.seeds)
     os.makedirs(args.out, exist_ok=True)
     wl, overlap = args.window_length, args.window_length - args.hop
+    prefix = "harmonic_fhc" if args.num_harmonics > 1 else "fhc"
 
     all_results = {}
     for mag in args.mags:
@@ -72,9 +79,9 @@ def main():
                        freq_func(jnp.asarray(times)))
             rmses.append(float(err))
         res = dict(rmse=np.asarray(rmses))
-        np.savez(os.path.join(args.out, f"fhc_{mag}.npz"), **res)
-        all_results.setdefault("fhc", {})[mag] = res
-        print(f"fhc {mag}: median rmse {np.nanmedian(res['rmse']):.4f}",
+        np.savez(os.path.join(args.out, f"{prefix}_{mag}.npz"), **res)
+        all_results.setdefault(prefix, {})[mag] = res
+        print(f"{prefix} {mag}: median rmse {np.nanmedian(res['rmse']):.4f}",
               flush=True)
 
     print_rmse_table(all_results)

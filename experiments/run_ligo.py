@@ -22,9 +22,17 @@ branch is skipped (same pipeline call as the reference).
 Outputs: results/ligo_synthetic.npz (true IF, posterior IF + band,
 learnt params, RMSE over the in-band segment) and an optional figure.
 
+``--reference`` runs the REFERENCE package's own pipeline
+(``/root/reference/chirpgp``, f64, SciPy L-BFGS-B -- the exact
+``gw_freq_estimate.py:26-56`` semantics, no standardization) on the SAME
+synthetic records and writes ``ligo_reference.npz`` with its learnt
+params + IF track, for a side-by-side parity check against
+``ligo_synthetic.npz``.
+
 Usage:
     python experiments/run_ligo.py [--plot results/ligo_synthetic.png]
     python experiments/run_ligo.py --data fig1-observed-H.txt ...
+    python experiments/run_ligo.py --reference
 """
 
 # Allow running straight from a source checkout (no pip install).
@@ -74,8 +82,83 @@ def synth_gw150914(key, mc_msun: float = 30.0, f0: float = 35.0,
     return [(ts, ys_h, true_f, 0), (ts, ys_l, true_f, shift)]
 
 
+def run_reference_pipeline(records, out_dir):
+    """Run the reference package's LIGO pipeline
+    (``gw_freq_estimate.py:26-56``: GH-3 sgp_filter MLE via SciPy
+    L-BFGS-B, sgp_smoother, order-10 gaussian_expectation of g(V)) on
+    the given (name, ts, ys, true_f, shift) records."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from run_reference_regen import _install_shims, REFERENCE_ROOT
+    _install_shims()
+    sys.path.insert(0, REFERENCE_ROOT)
+
+    import jax.numpy as jnp
+    import jaxopt  # the shim
+    from chirpgp.models import g, g_inv, build_chirp_model
+    from chirpgp.filters_smoothers import sgp_filter, sgp_smoother
+    from chirpgp.quadratures import gaussian_expectation, SigmaPoints
+    from chirpgp.tools import rmse as ref_rmse
+
+    sgps = SigmaPoints.gauss_hermite(d=4, order=3)
+    Xi = 0.3
+    init_theta = g_inv(jnp.array([0.1, 2.0, 0.5, 0.02, 40.0, 1.0]))
+    results = {}
+    for name, ts, ys, true_f, shift in records:
+        ts = jnp.asarray(ts, jnp.float64)
+        ys = jnp.asarray(ys, jnp.float64)
+        dt = float(ts[1] - ts[0])
+
+        def obj_func(theta):
+            _, _, m_and_cov, m0, P0, H = build_chirp_model(g(theta))
+            return sgp_filter(m_and_cov, sgps, H, Xi, m0, P0, dt,
+                              ys)[-1][-1]
+
+        solver = jaxopt.ScipyMinimize(method="L-BFGS-B", jit=True,
+                                      fun=obj_func)
+        opt_vals, opt_state = solver.run(init_theta)
+        params = g(opt_vals)
+        _, _, m_and_cov, m0, P0, H = build_chirp_model(params)
+        mfs, Pfs, _ = sgp_filter(m_and_cov, sgps, H, Xi, m0, P0, dt, ys)
+        mss, Pss = sgp_smoother(m_and_cov, sgps, mfs, Pfs, dt)
+        if_mean = gaussian_expectation(
+            ms=mss[:, 2], chol_Ps=jnp.sqrt(Pss[:, 2, 2]), func=g,
+            force_shape=True)[:, 0]
+        print(f"[ref {name}] converged={opt_state.success} "
+              f"params={np.round(np.asarray(params), 4)}")
+        results[f"{name}_if_mean"] = np.asarray(if_mean)
+        results[f"{name}_params"] = np.asarray(params)
+        results[f"{name}_ts"] = np.asarray(ts)
+        if true_f is not None:
+            lo = max(len(np.asarray(ts)) // 4, shift + 50)
+            tf_aligned = np.roll(np.asarray(true_f), shift)
+            err = float(ref_rmse(jnp.asarray(tf_aligned[lo:]),
+                                 if_mean[lo:]))
+            print(f"[ref {name}] in-band IF RMSE {err:.2f} Hz")
+            results[f"{name}_rmse_hz"] = err
+    path = os.path.join(out_dir, "ligo_reference.npz")
+    np.savez(path, **results)
+    print(f"saved {path}")
+
+    # Side-by-side if the repo run exists.
+    repo_path = os.path.join(out_dir, "ligo_synthetic.npz")
+    if os.path.exists(repo_path):
+        repo = np.load(repo_path)
+        for name, *_ in records:
+            k = f"{name}_if_mean"
+            if k in repo:
+                a, b = repo[k], results[k]
+                lo = len(a) // 4
+                d = float(np.sqrt(np.mean((a[lo:] - b[lo:]) ** 2)))
+                print(f"[{name}] repo-vs-reference IF track RMS "
+                      f"difference (post burn-in): {d:.3f} Hz")
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--reference", action="store_true",
+                    help="run the reference package's pipeline on the "
+                         "same synthetic records (parity)")
     ap.add_argument("--data", nargs="+", default=None,
                     help="real strain txt files (time, strain); if "
                          "omitted, the synthetic GW150914-like event is "
@@ -93,6 +176,14 @@ def main():
     from chirpgp_tpu.utils import rmse
 
     os.makedirs(args.out, exist_ok=True)
+
+    if args.reference:
+        records = [(name, ts, ys, tf, shift)
+                   for name, (ts, ys, tf, shift) in zip(
+                       ("H_synth", "L_synth"), synth_gw150914(None))]
+        run_reference_pipeline(records, args.out)
+        return
+
     results = {}
     records = []
     if args.data:
