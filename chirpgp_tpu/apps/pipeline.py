@@ -148,8 +148,11 @@ def _filter_fns(cfg: IFEstimationConfig):
     elif cfg.method == "cd_ghfs":
         def flt(pack, ys):
             b = pack.dispersion(pack.m0)
+            # remat: reverse-mode through the RK4 sigma-point scan at
+            # T~3k otherwise exceeds HBM under batched sweeps (observed:
+            # 17.3G for B=300 without it).
             return cd_sgp_filter(pack.drift, b, sgps, pack.H, cfg.Xi,
-                                 pack.m0, pack.P0, cfg.dt, ys)
+                                 pack.m0, pack.P0, cfg.dt, ys, remat=True)
 
         def smt(pack, mfs, Pfs):
             b = pack.dispersion(pack.m0)
@@ -157,7 +160,7 @@ def _filter_fns(cfg: IFEstimationConfig):
     elif cfg.method == "cd_ekfs":
         def flt(pack, ys):
             return cd_ekf(pack.drift, pack.dispersion, pack.H, cfg.Xi,
-                          pack.m0, pack.P0, cfg.dt, ys)
+                          pack.m0, pack.P0, cfg.dt, ys, remat=True)
 
         def smt(pack, mfs, Pfs):
             return cd_eks(pack.drift, pack.dispersion, mfs, Pfs, cfg.dt)
