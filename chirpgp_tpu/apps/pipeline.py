@@ -220,7 +220,7 @@ def estimate_if(cfg: IFEstimationConfig, params: jnp.ndarray,
         Pfs = Pfs @ jnp.swapaxes(Pfs, -1, -2)
         Pss = Pss @ jnp.swapaxes(Pss, -1, -2)
     else:
-        v_std = jnp.sqrt(Pss[:, v_idx, v_idx])
+        v_std = jnp.sqrt(jnp.maximum(Pss[:, v_idx, v_idx], 0.0))
     if_mean = gaussian_expectation_1d(v_mean, v_std,
                                       order=cfg.expectation_order)
     if_mean = if_mean * cfg.freq_scale

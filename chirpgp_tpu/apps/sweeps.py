@@ -114,7 +114,7 @@ def mc_mle_sweep(cfg: IFEstimationConfig, keys: jnp.ndarray, mag_name: str,
         if cfg.form == "sqrt":
             v_std = jnp.linalg.norm(Pss[:, v_idx, :], axis=-1)
         else:
-            v_std = jnp.sqrt(Pss[:, v_idx, v_idx])
+            v_std = jnp.sqrt(jnp.maximum(Pss[:, v_idx, v_idx], 0.0))
         if_mean = gaussian_expectation_1d(
             v_mean, v_std, order=cfg.expectation_order) * cfg.freq_scale
         err = rmse(true_freqs, if_mean)
@@ -149,9 +149,11 @@ def mc_mle_sweep_stepped(cfg: IFEstimationConfig, keys: jnp.ndarray,
 
 def _rescue_stuck_lanes(nll, init_theta, theta0, ys, opt,
                         max_iters: int = 300, rescue_tol: float = 1e-3,
+                        outlier_z: float = 8.0,
                         verbose: bool = False):
     """Per-lane SciPy L-BFGS-B fallback for lanes the lockstep batched
-    L-BFGS never moved off the init.
+    L-BFGS never moved off the init, or that landed far above the
+    batch-typical optimum.
 
     On hard seeds (observed: ~15% of the OU-magnitude draws) the zoom
     line search can fail on the very first iterations, after which the
@@ -161,7 +163,12 @@ def _rescue_stuck_lanes(nll, init_theta, theta0, ys, opt,
     is "stuck" when its final NLL is not at least
     ``rescue_tol * max(1, |f_init|)`` below the init NLL (real MLE runs
     on this family improve the NLL by hundreds of nats) or went
-    non-finite.  The rescued lane keeps whichever result is better.
+    non-finite.  Additionally, a lane whose NLL *improvement*
+    (f_final - f_init, negative = good) is a robust outlier above the
+    batch median by more than ``outlier_z`` MAD-sigmas is re-optimized:
+    those lanes converged to a catastrophically bad local optimum that
+    the reference's SciPy path escapes (observed on the KPT model).
+    The rescued lane keeps whichever result is better.
     """
     from scipy.optimize import minimize
 
@@ -170,6 +177,11 @@ def _rescue_stuck_lanes(nll, init_theta, theta0, ys, opt,
     with np.errstate(invalid="ignore"):
         stuck = (~np.isfinite(f_fin)) | (
             f_fin >= f_init - rescue_tol * np.maximum(1.0, np.abs(f_init)))
+        delta = f_fin - f_init
+        med = np.nanmedian(delta)
+        mad = np.nanmedian(np.abs(delta - med))
+        sigma = 1.4826 * max(mad, 1e-12)
+        stuck |= np.isfinite(delta) & (delta > med + outlier_z * sigma)
     idx = np.nonzero(stuck)[0]
     if idx.size == 0:
         return opt
@@ -178,9 +190,11 @@ def _rescue_stuck_lanes(nll, init_theta, theta0, ys, opt,
               f"{idx.tolist()[:16]}{'...' if idx.size > 16 else ''}",
               flush=True)
     vg = jax.jit(jax.value_and_grad(nll))   # compiled ONCE, reused per lane
-    params_np = np.asarray(jax.device_get(opt.params))
-    succ_np = np.asarray(jax.device_get(opt.success))
-    iters_np = np.asarray(jax.device_get(opt.num_iters))
+    # .copy(): device_get can return read-only views of host-shared
+    # buffers (the stepped optimizer's best-iterate arrays).
+    params_np = np.asarray(jax.device_get(opt.params)).copy()
+    succ_np = np.asarray(jax.device_get(opt.success)).copy()
+    iters_np = np.asarray(jax.device_get(opt.num_iters)).copy()
     theta_init64 = np.asarray(init_theta, dtype=np.float64)
     for i in idx:
         ys_i = ys[i]
@@ -240,7 +254,7 @@ def mle_sweep_on_measurements(cfg: IFEstimationConfig,
         if cfg.form == "sqrt":
             v_std = jnp.linalg.norm(Pss[:, v_idx, :], axis=-1)
         else:
-            v_std = jnp.sqrt(Pss[:, v_idx, v_idx])
+            v_std = jnp.sqrt(jnp.maximum(Pss[:, v_idx, v_idx], 0.0))
         if_mean = gaussian_expectation_1d(
             v_mean, v_std, order=cfg.expectation_order) * cfg.freq_scale
         err = rmse(tf_i, if_mean)

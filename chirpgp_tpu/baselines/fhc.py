@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["harmonic_chirp_nls", "fhc_pitch_track"]
+__all__ = ["harmonic_chirp_nls", "fhc_pitch_track", "fhc_pitch_track_batch"]
 
 
 def _objective_grid(y: jnp.ndarray, ws: jnp.ndarray, alphas: jnp.ndarray,
@@ -107,13 +107,74 @@ def fhc_pitch_track(ys, fs: float, num_harmonics: int,
     idx = starts[:, None] + jnp.arange(window_length)[None, :]
     windows = ys[idx]                                # (W, N)
 
-    @jax.jit
-    @partial(jax.vmap)
+    w_centre = _solve_windows(windows, num_harmonics, w_bounds, a_max,
+                              window_length, n_w, n_alpha)
+    return np.asarray(times), np.asarray(w_centre) * fs / (2.0 * math.pi)
+
+
+@partial(jax.jit, static_argnums=(1, 4, 5, 6))
+def _solve_windows(windows, num_harmonics: int, w_bounds, a_max,
+                   window_length: int, n_w: int, n_alpha: int):
+    """Per-window centre-IF estimates, vmapped; jitted once per shape
+    (static grid sizes) so multi-seed sweeps do not recompile.
+
+    The reported centre IF ``w + alpha N/2`` is clipped into the f0
+    search band: in sub-cycle windows (f0 * window < 1 cycle) the
+    (w, alpha) pair is nearly unidentifiable and the unclipped linear
+    extrapolation can leave the band entirely even though both w and
+    alpha are inside their own bounds."""
     def solve(win):
         w, a = harmonic_chirp_nls(win, num_harmonics, w_bounds,
                                   (-a_max, a_max), n_w=n_w,
                                   n_alpha=n_alpha)
-        return w + a * window_length / 2.0
+        return jnp.clip(w + a * window_length / 2.0,
+                        w_bounds[0], w_bounds[1])
 
-    w_centre = solve(windows)
-    return np.asarray(times), np.asarray(w_centre) * fs / (2.0 * math.pi)
+    return jax.vmap(solve)(windows)
+
+
+def fhc_pitch_track_batch(yss, fs: float, num_harmonics: int,
+                          window_length: int = 300,
+                          window_overlap: int = 295,
+                          f0_bounds_hz: Tuple[float, float] = (2.0, 15.0),
+                          max_chirp_rate_hz_s: float = 50.0,
+                          n_w: int = 96, n_alpha: int = 11,
+                          window_chunk: int = 256):
+    """Seed-batched :func:`fhc_pitch_track`: ``yss`` (B, T) -> (times (W,),
+    f0_hz (B, W)).  The B * W windows are flattened and solved in
+    fixed-shape chunks of ``window_chunk`` (one compile total; each
+    chunk's grid projections are one einsum batch on the MXU).  Chunking
+    bounds the live grid tensor to
+    ``window_chunk * n_w * n_alpha * 2L * window_length`` floats -- the
+    full window set at Monte-Carlo scale would not fit in HBM."""
+    yss = jnp.asarray(yss)
+    B, T = yss.shape
+    dt = 1.0 / fs
+    step = window_length - window_overlap
+    num_windows = round((T - window_length) / step) + 1
+    starts = jnp.arange(num_windows) * step
+    centres = window_length / 2 + np.arange(num_windows) * step
+    times = centres * dt
+
+    w_bounds = (2 * math.pi * f0_bounds_hz[0] / fs,
+                2 * math.pi * f0_bounds_hz[1] / fs)
+    a_max = 2 * math.pi * max_chirp_rate_hz_s / fs ** 2
+    idx = starts[:, None] + jnp.arange(window_length)[None, :]
+    windows = yss[:, idx].reshape(B * num_windows, window_length)
+
+    total = windows.shape[0]
+    out = np.empty((total,), dtype=np.asarray(yss).dtype)
+    for lo in range(0, total, window_chunk):
+        chunk = windows[lo:lo + window_chunk]
+        n = chunk.shape[0]
+        if n < window_chunk:    # pad to the compiled shape
+            chunk = jnp.concatenate(
+                [chunk, jnp.broadcast_to(chunk[-1:],
+                                         (window_chunk - n,
+                                          window_length))])
+        w_centre = _solve_windows(chunk, num_harmonics, w_bounds, a_max,
+                                  window_length, n_w, n_alpha)
+        out[lo:lo + n] = np.asarray(w_centre)[:n]
+
+    f0 = out.reshape(B, num_windows) * fs / (2.0 * math.pi)
+    return np.asarray(times), f0

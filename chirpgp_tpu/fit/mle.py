@@ -166,12 +166,24 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
     best = np.full((B,), np.inf)
     stall = np.zeros((B,), dtype=np.int64)
     still_going = jnp.ones((B,), dtype=bool)
+    # Best-iterate tracking: a failed zoom line search can step UPHILL
+    # (observed: lanes retired thousands of nats above their own best
+    # point), so the returned iterate is the lowest-NLL one each lane
+    # ever visited, not the last.  Params are a few floats per lane --
+    # the per-iteration host transfer is negligible next to the filter
+    # dispatch itself.
+    best_params = np.asarray(jax.device_get(init_params)).copy()
+    best_count = np.zeros((B,), dtype=np.int64)
     for it in range(max_iters):
         params, state, active = step_j(params, state, batch_args,
                                        still_going)
         vals = np.asarray(jax.device_get(otu.tree_get(state, "value")))
         with np.errstate(invalid="ignore"):   # NaN seeds never "improve"
             improved = vals < best - ftol_rel * np.maximum(1.0, np.abs(best))
+            better = vals < best
+        params_np = np.asarray(jax.device_get(params))
+        best_params = np.where(better[:, None], params_np, best_params)
+        best_count = np.where(better, it + 1, best_count)
         stall = np.where(improved, 0, stall + 1)
         best = np.minimum(best, vals)
         active_np = np.asarray(jax.device_get(active))
@@ -184,8 +196,10 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
         if n_active == 0:
             break
 
-    value = otu.tree_get(state, "value")
-    count = otu.tree_get(state, "count")
+    value = jnp.asarray(best.astype(params_np.dtype)) \
+        if max_iters > 0 else otu.tree_get(state, "value")
+    params = jnp.asarray(best_params)
+    count = jnp.asarray(best_count)
     finite = jnp.isfinite(value) & jnp.all(jnp.isfinite(params), axis=-1)
     return MLEResult(params, value, count, finite)
 

@@ -17,6 +17,7 @@ import jax.scipy.linalg
 
 from chirpgp_tpu.models.transitions import Transition, as_transition
 from chirpgp_tpu.quad.sigma_points import SigmaPoints
+from chirpgp_tpu.utils.numerics import psd_cholesky, psd_solve
 
 __all__ = [
     "log_normal_pdf", "linear_predict", "linear_update",
@@ -58,9 +59,10 @@ def gaussian_smoother_step(DT: jnp.ndarray,
                            mp: jnp.ndarray, Pp: jnp.ndarray,
                            ms: jnp.ndarray, Ps: jnp.ndarray):
     """One RTS-type backward step with gain ``G = D Pp^{-1}`` solved via
-    Cholesky; ``DT = D^T`` (reference ``filters_smoothers.py:71-85``)."""
-    c, low = jax.scipy.linalg.cho_factor(Pp)
-    G = jax.scipy.linalg.cho_solve((c, low), DT).T
+    a degenerate-safe Cholesky (``cho_solve`` NaNs on the f32-singular
+    predicted covariances of noise-free-block models like La Scala);
+    ``DT = D^T`` (reference ``filters_smoothers.py:71-85``)."""
+    G = psd_solve(Pp, DT).T
     ms = mf + G @ (ms - mp)
     Ps = Pf + G @ (Ps - Pp) @ G.T
     return ms, Ps
@@ -76,9 +78,12 @@ def sgp_prediction(sgps: SigmaPoints, trans, dt,
     vmap of block-diag matmuls, centered covariance reduction, and the
     per-point covariance expectation is skipped entirely when the transition
     covariance is state-independent (always true for the chirp family).
+    The filtered covariance is factored with the degenerate-safe
+    :func:`psd_cholesky` (f32 roundoff can push it indefinite on models
+    with noise-free blocks).
     """
     trans = as_transition(trans) if not isinstance(trans, Transition) else trans
-    chol_Pf = jnp.linalg.cholesky(Pf)
+    chol_Pf = psd_cholesky(Pf)
     chi = sgps.gen_sigma_points(mf, chol_Pf)            # (..., S, d)
     evals = trans.mean(chi, dt)                         # (..., S, d)
     mp, Pdev = sgps.mean_and_cov(evals)
@@ -97,7 +102,7 @@ def cd_sgp_moment_odes(sgps: SigmaPoints, drift: Callable,
     ``dm/dt = E[a]``, ``dP/dt = E[(x-m)a^T] + sym + BB^T`` (reference
     ``filters_smoothers.py:124-137``), with the drift evaluated batched
     over sigma points."""
-    chol_P = jnp.linalg.cholesky(P)
+    chol_P = psd_cholesky(P)
     chi = sgps.gen_sigma_points(m, chol_P)              # (S, d)
     evals = drift(chi)                                  # (S, d) batched drift
     mp = jnp.einsum("s,sd->d", sgps.w, evals)

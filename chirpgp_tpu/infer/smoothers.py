@@ -17,6 +17,7 @@ from chirpgp_tpu.infer.common import (
 from chirpgp_tpu.models.transitions import Transition, as_transition
 from chirpgp_tpu.quad.integrators import rk4_m_cov_backward
 from chirpgp_tpu.quad.sigma_points import SigmaPoints
+from chirpgp_tpu.utils.numerics import psd_solve
 
 __all__ = ["rts", "eks", "sgp_smoother", "cd_eks", "cd_sgp_smoother"]
 
@@ -94,9 +95,8 @@ def cd_eks(a: Callable, b: Callable, mfs: jnp.ndarray, Pfs: jnp.ndarray,
 
     def odes(m, P, mf, Pf):
         gamma = b(m) @ b(m).T
-        c, low = jax.scipy.linalg.cho_factor(Pf)
-        J_plus = jac_of_a(m) + jax.scipy.linalg.cho_solve((c, low), gamma.T).T
-        dm = a(m) + gamma @ jax.scipy.linalg.cho_solve((c, low), m - mf)
+        J_plus = jac_of_a(m) + psd_solve(Pf, gamma.T).T
+        dm = a(m) + gamma @ psd_solve(Pf, m - mf)
         dP = J_plus @ P + P @ J_plus.T - gamma
         return dm, dP
 
@@ -118,8 +118,7 @@ def cd_sgp_smoother(a: Callable, b: jnp.ndarray, sgps: SigmaPoints,
     gamma = b @ b.T
 
     def odes(m, P, mf, Pf):
-        c, low = jax.scipy.linalg.cho_factor(Pf)
-        G = jax.scipy.linalg.cho_solve((c, low), gamma)
+        G = psd_solve(Pf, gamma)
         _m, _P = cd_sgp_moment_odes(sgps, vec_drift, b, m, P)
         return _m + G.T @ (m - mf), _P + G.T @ P + P @ G - 2.0 * gamma
 

@@ -2,7 +2,7 @@
 
 import jax.numpy as jnp
 
-__all__ = ["phi1", "ou_variance", "psd_cholesky"]
+__all__ = ["phi1", "ou_variance", "psd_cholesky", "psd_solve"]
 
 
 def phi1(x: jnp.ndarray) -> jnp.ndarray:
@@ -64,3 +64,43 @@ def psd_cholesky(P, eps: float = 1e-30):
     return jnp.stack(
         [jnp.stack([rows[i][j] if j <= i else zero for j in range(d)],
                    axis=-1) for i in range(d)], axis=-2)
+
+
+def psd_solve(P, B, eps: float = 1e-30):
+    """Solve ``P X = B`` for PSD ``P`` that may be singular in f32.
+
+    Factors ``P = L L^T`` with :func:`psd_cholesky` and runs forward/back
+    substitution that treats clamped (zero) pivots as zero contribution --
+    i.e. the solve acts as the pseudo-inverse on the degenerate subspace
+    and is exact on PD inputs.  ``jax.scipy.linalg.cho_solve`` by contrast
+    returns NaN on any indefinite/singular input, which kills the
+    covariance-form smoothers on models with noise-free blocks (La Scala,
+    reference ``models.py:181``) after thousands of f32 steps.
+
+    ``P``: (d, d); ``B``: (d,) or (d, k).  d must be static.
+    """
+    import jax.numpy as jnp
+
+    L = psd_cholesky(P, eps)
+    d = P.shape[-1]
+    vec = B.ndim == 1
+    Bm = B[:, None] if vec else B
+    piv_ok = [L[j, j] > 0 for j in range(d)]
+    inv = [jnp.where(piv_ok[j], 1.0 / jnp.where(piv_ok[j], L[j, j], 1.0),
+                     0.0) for j in range(d)]
+    # forward: L Y = B
+    Y = [None] * d
+    for j in range(d):
+        acc = Bm[j]
+        for k in range(j):
+            acc = acc - L[j, k] * Y[k]
+        Y[j] = acc * inv[j]
+    # backward: L^T X = Y
+    X = [None] * d
+    for j in range(d - 1, -1, -1):
+        acc = Y[j]
+        for k in range(j + 1, d):
+            acc = acc - L[k, j] * X[k]
+        X[j] = acc * inv[j]
+    out = jnp.stack(X, axis=0)
+    return out[:, 0] if vec else out

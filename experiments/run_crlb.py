@@ -40,6 +40,10 @@ def main():
     ap.add_argument("-T", type=int, default=500)
     ap.add_argument("-out", default="./results")
     ap.add_argument("--chunk", type=int, default=16384)
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "cf", "vmap"],
+                    help="chunk filter backend: channels-first batched "
+                         "kernel (cf; sigma-point only) or per-seed vmap")
     ap.add_argument("--pcrlb", action="store_true",
                     help="also compute the PCRLB overlay (1e5 MC) per "
                          "grid point")
@@ -66,7 +70,7 @@ def main():
                 res = filter_error_mc_chunked(
                     lam, b, args.delta, args.ell, args.sigma, args.Xi,
                     args.num_mcs, method=args.method, dt=args.dt,
-                    T=args.T, chunk=args.chunk)
+                    T=args.T, chunk=args.chunk, backend=args.backend)
             wall = time.time() - t0
             res["wall_s"] = np.float64(wall)
             res["num_mcs"] = np.int64(args.num_mcs)

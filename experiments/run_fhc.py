@@ -51,7 +51,7 @@ def main():
     from chirpgp_tpu.apps import generate_rnd_keys, toymodel_measurements
     from chirpgp_tpu.apps.sweeps import print_rmse_table
     from chirpgp_tpu.baselines.fastnls import median_smooth, force_odd
-    from chirpgp_tpu.baselines.fhc import fhc_pitch_track
+    from chirpgp_tpu.baselines.fhc import fhc_pitch_track_batch
     from chirpgp_tpu.toymodels import meow_freq
     from chirpgp_tpu.utils import rmse
 
@@ -63,21 +63,24 @@ def main():
     wl, overlap = args.window_length, args.window_length - args.hop
     prefix = "harmonic_fhc" if args.num_harmonics > 1 else "fhc"
 
+    import functools
+    import jax
+
     all_results = {}
     for mag in args.mags:
+        gen = functools.partial(toymodel_measurements, mag_name=mag,
+                                dt=dt, T=T,
+                                num_harmonics=args.num_harmonics)
+        _, _, yss = jax.jit(jax.vmap(gen))(keys)
+        times, f0s = fhc_pitch_track_batch(np.asarray(yss), fs,
+                                           args.num_harmonics,
+                                           window_length=wl,
+                                           window_overlap=overlap)
+        tf = freq_func(jnp.asarray(times))
         rmses = []
-        for k in np.asarray(keys):
-            _, _, ys = toymodel_measurements(
-                jnp.asarray(k), mag, dt=dt, T=T,
-                num_harmonics=args.num_harmonics)
-            times, f0s = fhc_pitch_track(np.asarray(ys), fs,
-                                         args.num_harmonics,
-                                         window_length=wl,
-                                         window_overlap=overlap)
-            smoothed = median_smooth(f0s, force_odd(round(wl / 10)))
-            err = rmse(jnp.asarray(smoothed),
-                       freq_func(jnp.asarray(times)))
-            rmses.append(float(err))
+        for b in range(f0s.shape[0]):
+            smoothed = median_smooth(f0s[b], force_odd(round(wl / 10)))
+            rmses.append(float(rmse(jnp.asarray(smoothed), tf)))
         res = dict(rmse=np.asarray(rmses))
         np.savez(os.path.join(args.out, f"{prefix}_{mag}.npz"), **res)
         all_results.setdefault(prefix, {})[mag] = res

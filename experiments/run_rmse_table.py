@@ -39,7 +39,12 @@ METHOD_CONFIGS = {
     "ckfs": dict(method="ghfs", quadrature="cubature", form="sqrt"),
     "cd_ghfs": dict(method="cd_ghfs"),
     "cd_ekfs": dict(method="cd_ekfs"),
-    "lascala_ghfs": dict(method="ghfs", model="lascala", form="sqrt"),
+    # lascala_ghfs runs in covariance form: the sqrt-form stepped program
+    # for this model deterministically faults the experimental axon TPU
+    # worker at B>=100 (cov form verified clean; lascala_ekfs sqrt is
+    # unaffected).  f32 cov-form NaN stragglers are handled by the
+    # rescue + NaN gating.
+    "lascala_ghfs": dict(method="ghfs", model="lascala", form="cov"),
     "lascala_ekfs": dict(method="ekfs", model="lascala", form="sqrt"),
     "harmonic_ekfs": dict(method="ekfs", model="harmonic",
                           num_harmonics=3, form="sqrt"),
