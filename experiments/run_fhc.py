@@ -41,6 +41,10 @@ def main():
                     default=["const", "damped", "random"])
     ap.add_argument("--out", default="./results")
     ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--data-dir", default="./results/data",
+                    help="pregenerated measurement data (bit-exact seed "
+                         "pairing with the SSM sweeps); '' regenerates "
+                         "on-device")
     args = ap.parse_args()
     if args.platform:
         import jax as _jax
@@ -68,10 +72,17 @@ def main():
 
     all_results = {}
     for mag in args.mags:
-        gen = functools.partial(toymodel_measurements, mag_name=mag,
-                                dt=dt, T=T,
-                                num_harmonics=args.num_harmonics)
-        _, _, yss = jax.jit(jax.vmap(gen))(keys)
+        if args.data_dir:
+            dprefix = ("toydata" if args.num_harmonics == 1
+                       else f"toydata_h{args.num_harmonics}")
+            data = np.load(os.path.join(args.data_dir,
+                                        f"{dprefix}_{mag}.npz"))
+            yss = np.asarray(data["ys"][:args.seeds])
+        else:
+            gen = functools.partial(toymodel_measurements, mag_name=mag,
+                                    dt=dt, T=T,
+                                    num_harmonics=args.num_harmonics)
+            _, _, yss = jax.jit(jax.vmap(gen))(keys)
         times, f0s = fhc_pitch_track_batch(np.asarray(yss), fs,
                                            args.num_harmonics,
                                            window_length=wl,

@@ -145,3 +145,55 @@ def test_sqrt_filter_handles_singular_process_noise_lascala():
     assert bool(jnp.isfinite(nll[-1]))
     mss, Lss = sqrt_sgp_smoother(pack.m_and_cov, sgps, mfs, Lfs, 1e-3)
     assert bool(jnp.all(jnp.isfinite(mss)))
+
+
+def test_psd_solve_pd_and_singular():
+    """psd_solve equals the Cholesky solve on PD inputs and acts as the
+    pseudo-inverse on the degenerate subspace of singular PSD inputs
+    (the cov-form smoother gain on La Scala-type models, round-2 fix)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chirpgp_tpu.utils.numerics import psd_solve
+
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(4, 4))
+    P = A @ A.T + 4 * np.eye(4)
+    B = rng.normal(size=(4, 3))
+    X = psd_solve(jnp.asarray(P), jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(X), np.linalg.solve(P, B),
+                               rtol=1e-9)
+    # vector RHS
+    x = psd_solve(jnp.asarray(P), jnp.asarray(B[:, 0]))
+    np.testing.assert_allclose(np.asarray(x),
+                               np.linalg.solve(P, B[:, 0]), rtol=1e-9)
+
+    # Singular: rank-2 PSD in 4-d.  P P^+ B == B for B in range(P).
+    U = rng.normal(size=(4, 2))
+    Ps = U @ U.T
+    Bs = Ps @ rng.normal(size=(4, 2))          # in range(P)
+    Xs = np.asarray(psd_solve(jnp.asarray(Ps), jnp.asarray(Bs)))
+    assert np.all(np.isfinite(Xs))
+    np.testing.assert_allclose(Ps @ Xs, Bs, atol=1e-8)
+
+
+def test_cov_smoother_finite_on_lascala():
+    """Covariance-form sigma-point filter+smoother stay finite on the
+    La Scala model (f32-indefinite covariances; psd_solve/psd_cholesky
+    paths) -- the estimate step clamps negative marginal variances."""
+    import jax
+    import jax.numpy as jnp
+
+    from chirpgp_tpu.models import build_lascala_model, g, g_inv
+    from chirpgp_tpu.infer import sgp_filter, sgp_smoother
+    from chirpgp_tpu.quad import gauss_hermite
+
+    params = g(g_inv(jnp.array([0.1, 1.0, 1.0, 7.0])))
+    pack = build_lascala_model(params)
+    ys = 0.3 * jax.random.normal(jax.random.PRNGKey(3), (300,))
+    sgps = gauss_hermite(4, 3)
+    mfs, Pfs, nll = sgp_filter(pack.m_and_cov, sgps, pack.H, 0.1,
+                               pack.m0, pack.P0, 1e-3, ys)
+    mss, Pss = sgp_smoother(pack.m_and_cov, sgps, mfs, Pfs, 1e-3)
+    assert bool(jnp.all(jnp.isfinite(mss)))
+    assert bool(jnp.isfinite(nll[-1]))
