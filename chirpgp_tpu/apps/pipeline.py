@@ -14,7 +14,7 @@ Canonical flow parity: ``demos/ghfs_mle.py:49-93``.
 
 import dataclasses
 import math
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,7 @@ from chirpgp_tpu.quad import (
     SigmaPoints, cubature, gauss_hermite, unscented, gaussian_expectation_1d)
 
 __all__ = ["IFEstimationConfig", "make_nll_fn", "fit_mle", "estimate_if",
-           "run_pipeline", "IFEstimate"]
+           "run_pipeline"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -193,10 +193,6 @@ def fit_mle(cfg: IFEstimationConfig, ys: jnp.ndarray,
                               chunk_iters=cfg.chunk_iters or None)
     return scipy_minimize(nll, init_theta,
                           options={"maxiter": cfg.max_iters})
-
-
-class IFEstimate(Tuple):
-    pass
 
 
 def estimate_if(cfg: IFEstimationConfig, params: jnp.ndarray,

@@ -180,8 +180,12 @@ def _rescue_stuck_lanes(nll, init_theta, theta0, ys, opt,
         delta = f_fin - f_init
         med = np.nanmedian(delta)
         mad = np.nanmedian(np.abs(delta - med))
-        sigma = 1.4826 * max(mad, 1e-12)
-        stuck |= np.isfinite(delta) & (delta > med + outlier_z * sigma)
+        # mad==0 (>=half the lanes share one improvement value) would
+        # flag essentially every other lane; the stuck-rule above already
+        # covers no-progress lanes, so skip the outlier rule then.
+        if mad > 0:
+            sigma = 1.4826 * mad
+            stuck |= np.isfinite(delta) & (delta > med + outlier_z * sigma)
     idx = np.nonzero(stuck)[0]
     if idx.size == 0:
         return opt

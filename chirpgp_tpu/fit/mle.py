@@ -155,15 +155,25 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
 
     import numpy as np
 
+    # Best-iterate tracking below assumes a single (B, p) params array;
+    # pytree/1-D inits would silently broadcast wrongly.
+    assert (isinstance(init_params, (jnp.ndarray, np.ndarray))
+            and init_params.ndim == 2), \
+        "lbfgs_minimize_stepped requires a 2-D (batch, params) array"
+
     step_j = jax.jit(jax.vmap(one_step, in_axes=(0, 0, 0, 0)))
-    B = jax.tree.leaves(init_params)[0].shape[0]
+    B = init_params.shape[0]
     params = init_params
     state = jax.vmap(opt.init)(init_params)
     # Host-side stall freeze: scipy L-BFGS-B's ftol rule adapted to f32 --
     # a seed whose NLL improves by < ftol_rel * max(1, |f|) for `patience`
     # consecutive iterations has converged for all practical purposes
     # (f32 gradient norms rarely reach a fixed small tol).
-    best = np.full((B,), np.inf)
+    # best starts at f(init) so the returned iterate can never be worse
+    # than the init point (a failed first line search can step uphill).
+    f_init_j = jax.jit(jax.vmap(lambda p, *a: fun(p, *a)))
+    best = np.asarray(jax.device_get(f_init_j(init_params, *batch_args)),
+                      dtype=np.float64)
     stall = np.zeros((B,), dtype=np.int64)
     still_going = jnp.ones((B,), dtype=bool)
     # Best-iterate tracking: a failed zoom line search can step UPHILL
@@ -174,6 +184,7 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
     # dispatch itself.
     best_params = np.asarray(jax.device_get(init_params)).copy()
     best_count = np.zeros((B,), dtype=np.int64)
+    params_np = best_params
     for it in range(max_iters):
         params, state, active = step_j(params, state, batch_args,
                                        still_going)
@@ -185,7 +196,9 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
         best_params = np.where(better[:, None], params_np, best_params)
         best_count = np.where(better, it + 1, best_count)
         stall = np.where(improved, 0, stall + 1)
-        best = np.minimum(best, vals)
+        # fmin (NaN-ignoring): a transient NaN iteration must not poison
+        # the tracked best, which stays consistent with best_params.
+        best = np.fmin(best, vals)
         active_np = np.asarray(jax.device_get(active))
         still_going = jnp.asarray(active_np & (stall < patience))
         n_active = int(np.sum(np.asarray(jax.device_get(still_going))))
@@ -196,8 +209,7 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
         if n_active == 0:
             break
 
-    value = jnp.asarray(best.astype(params_np.dtype)) \
-        if max_iters > 0 else otu.tree_get(state, "value")
+    value = jnp.asarray(best.astype(params_np.dtype))
     params = jnp.asarray(best_params)
     count = jnp.asarray(best_count)
     finite = jnp.isfinite(value) & jnp.all(jnp.isfinite(params), axis=-1)
