@@ -11,7 +11,8 @@ from chirpgp_tpu.infer.sqrt import (
     sqrt_kf, sqrt_ekf, sqrt_eks, sqrt_sgp_filter, sqrt_sgp_smoother, tria)
 from chirpgp_tpu.infer.nuts import nuts_sample, nuts_sample_sharded, NUTSResult
 from chirpgp_tpu.infer.smc import (
-    bootstrap_filter, systematic_resample, effective_sample_size)
+    bootstrap_filter, bootstrap_filter_sharded, systematic_resample,
+    effective_sample_size)
 from chirpgp_tpu.infer.parallel_sgp import (
     kf_parallel_tv, rts_parallel_tv, slr_transitions, psgp_filter_smoother)
 from chirpgp_tpu.infer.batched import (
@@ -27,7 +28,8 @@ __all__ = [
     "sqrt_kf", "sqrt_ekf", "sqrt_eks", "sqrt_sgp_filter",
     "sqrt_sgp_smoother", "tria",
     "nuts_sample", "nuts_sample_sharded", "NUTSResult",
-    "bootstrap_filter", "systematic_resample", "effective_sample_size",
+    "bootstrap_filter", "bootstrap_filter_sharded", "systematic_resample",
+    "effective_sample_size",
     "kf_parallel_tv", "rts_parallel_tv", "slr_transitions",
     "psgp_filter_smoother",
     "tria_cf", "sqrt_sgp_filter_batched", "sqrt_sgp_smoother_batched",

@@ -12,7 +12,8 @@ import numpy.testing as npt
 from chirpgp_tpu.infer import kf
 from chirpgp_tpu.infer.nuts import nuts_sample, nuts_sample_sharded
 from chirpgp_tpu.infer.smc import (
-    bootstrap_filter, systematic_resample, effective_sample_size)
+    bootstrap_filter, bootstrap_filter_sharded, systematic_resample,
+    effective_sample_size)
 from chirpgp_tpu.models import m32_solution, stationary_cov_m32, disc_m32
 from chirpgp_tpu.parallel import make_mesh
 from chirpgp_tpu.utils import simulate_lgssm
@@ -107,6 +108,32 @@ def test_bootstrap_filter_matches_kf():
     mfs, _, nell = kf(F, Sigma, H, Xi, m0, P0, ys)
     res = bootstrap_filter(disc_m32(ell, sigma), H, Xi, m0, P0, dt, ys,
                            jax.random.PRNGKey(8), num_particles=4000)
+    npt.assert_allclose(float(res.log_ml[-1]), -float(nell[-1]),
+                        rtol=0.02)
+    err = np.abs(np.asarray(res.means[:, 0] - mfs[:, 0]))
+    assert err.mean() < 0.05
+    assert bool(jnp.all(res.ess > 1.0))
+
+
+def test_bootstrap_filter_sharded_matches_kf():
+    """The particle-sharded SMC (psum weight reductions + exact global
+    systematic resampling via all_gather) agrees with the exact KF on an
+    LGSSM, on the 8-device CPU mesh."""
+    ell, sigma, dt, T, Xi = 1.0, 1.0, 0.01, 100, 0.1
+    F, Sigma = m32_solution(ell, sigma, dt)
+    H = jnp.array([1.0, 0.0])
+    m0 = jnp.zeros(2)
+    P0 = stationary_cov_m32(ell, sigma)
+    key = jax.random.PRNGKey(7)
+    xs = simulate_lgssm(F, Sigma, m0, T, key)
+    key, sub = jax.random.split(key)
+    ys = xs @ H + math.sqrt(Xi) * jax.random.normal(sub, (T,))
+
+    mfs, _, nell = kf(F, Sigma, H, Xi, m0, P0, ys)
+    mesh = make_mesh(axis_name="particles")
+    res = bootstrap_filter_sharded(
+        disc_m32(ell, sigma), H, Xi, m0, P0, dt, ys,
+        jax.random.PRNGKey(8), mesh, num_particles=4000)
     npt.assert_allclose(float(res.log_ml[-1]), -float(nell[-1]),
                         rtol=0.02)
     err = np.abs(np.asarray(res.means[:, 0] - mfs[:, 0]))
