@@ -225,13 +225,80 @@ def _rescue_stuck_lanes(nll, init_theta, theta0, ys, opt,
                      jnp.asarray(iters_np), jnp.asarray(succ_np))
 
 
+def _polish_lanes_f64(nll, init_theta, opt, ys, max_iters: int = 200,
+                      verbose: bool = False):
+    """Per-lane float64-CPU L-BFGS-B polish of the f32 TPU solution.
+
+    The f32 NLL of this model family sits at O(1e3) nats, so float32
+    resolves relative improvements only down to ~1e-4 -- the stepped
+    optimizer stalls on a plateau the reference's float64 SciPy run
+    descends well past (diagnosed on the CKFS column: the whole batch
+    froze ~5-10x above the f64 optima, blinding the batch-relative
+    rescue).  Re-running the SAME objective in float64 on the host CPU
+    from each lane's f32 best iterate is a cheap warm-started local
+    refinement (L-BFGS-B is monotone, so the polished iterate can only
+    improve in f64 terms) that restores the reference's optimizer
+    semantics exactly -- the reference runs everything f64 on CPU.
+
+    Lanes whose f32 stage went non-finite are polished from the init
+    instead.  ``success`` takes the polished run's SciPy flag (the
+    reference's divergence contract).
+    """
+    from scipy.optimize import minimize
+
+    params_np = np.asarray(jax.device_get(opt.params),
+                           dtype=np.float64).copy()
+    f_fin = np.asarray(jax.device_get(opt.fun_val), dtype=np.float64).copy()
+    succ_np = np.asarray(jax.device_get(opt.success)).copy()
+    iters_np = np.asarray(jax.device_get(opt.num_iters)).copy()
+    ys64 = np.asarray(jax.device_get(ys), dtype=np.float64)
+    init64 = np.asarray(jax.device_get(init_theta), dtype=np.float64)
+    B = params_np.shape[0]
+
+    cpu = jax.devices("cpu")[0]
+    with jax.enable_x64(), jax.default_device(cpu):
+        vg = jax.jit(jax.value_and_grad(nll))   # f64 CPU, compiled once
+        for i in range(B):
+            x0 = params_np[i]
+            if not np.all(np.isfinite(x0)):
+                x0 = init64
+            ys_i = jnp.asarray(ys64[i])
+
+            def f_np(x):
+                v, gr = vg(jnp.asarray(x), ys_i)
+                return float(v), np.asarray(gr, dtype=np.float64)
+
+            res = minimize(f_np, x0, method="L-BFGS-B", jac=True,
+                           options={"maxiter": max_iters})
+            if np.isfinite(res.fun):
+                if verbose and (not np.isfinite(f_fin[i])
+                                or res.fun < f_fin[i] - 1e-3):
+                    print(f"    f64 polish lane {i}: "
+                          f"{f_fin[i]:.3f} -> {res.fun:.3f} "
+                          f"({int(res.nit)} iters)", flush=True)
+                params_np[i] = np.asarray(res.x)
+                f_fin[i] = res.fun
+                succ_np[i] = bool(res.success)
+                iters_np[i] = iters_np[i] + int(res.nit)
+
+    from chirpgp_tpu.fit.mle import MLEResult
+    return MLEResult(jnp.asarray(params_np.astype(np.float32)),
+                     jnp.asarray(f_fin.astype(np.float32)),
+                     jnp.asarray(iters_np), jnp.asarray(succ_np))
+
+
 def mle_sweep_on_measurements(cfg: IFEstimationConfig,
                               true_freqs: jnp.ndarray, ys: jnp.ndarray,
                               init_theta: Optional[jnp.ndarray] = None,
+                              polish_f64: bool = True,
                               verbose: bool = False) -> Dict[str, np.ndarray]:
     """Host-stepped batched MLE sweep over pre-generated measurement
     batches ``(B, T)`` -- lets callers mix scenarios (e.g. all three
-    magnitude cases) in ONE batched L-BFGS program."""
+    magnitude cases) in ONE batched L-BFGS program.
+
+    ``polish_f64`` appends the per-lane float64-CPU warm-started polish
+    (:func:`_polish_lanes_f64`) that closes the f32 plateau gap to the
+    reference's f64 optimizer semantics."""
     if init_theta is None:
         init_theta = cfg.default_init_theta()
     flt, smt = _filter_fns(cfg)
@@ -248,6 +315,9 @@ def mle_sweep_on_measurements(cfg: IFEstimationConfig,
                                  verbose=verbose)
     opt = _rescue_stuck_lanes(nll, init_theta, theta0, ys, opt,
                               max_iters=cfg.max_iters, verbose=verbose)
+    if polish_f64:
+        opt = _polish_lanes_f64(nll, init_theta, opt, ys,
+                                max_iters=cfg.max_iters, verbose=verbose)
 
     def estimate(theta, tf_i, ys_i, success):
         params = g(theta)
