@@ -28,6 +28,26 @@ baselines  classical IF estimators (Hilbert, spectrogram, poly-MLE, ANF)
 apps       end-to-end pipelines (toymodel demos, bats, LIGO)
 """
 
+import os as _os
+
+import jax as _jax
+
+# Multi-pass f32-accurate matmuls by default.  On TPU, XLA lowers f32
+# dot/conv to SINGLE-pass bfloat16 MXU ops unless told otherwise; for
+# this framework's small (d<=16) sequential filter algebra that default
+# is a correctness bug, not a speed win: the per-step ~1e-3 relative
+# rounding accumulates over T~3e3 scan steps into estimate-level error.
+# Measured on the CKFS Table-I column at the reference optimum: IF
+# RMSE x10 = 0.92 under default precision vs 0.777 under "high" vs
+# 0.7764 under "highest" vs 0.7762 for the float64 reference -- "high"
+# (multi-pass bf16) already restores f64-grade estimates, at 14.8M
+# fused steps/s/chip vs 11.6M for "highest" (bench.py, B=4096).  The
+# MLE objective itself was similarly corrupted under the default.
+# Override with CHIRPGP_TPU_MATMUL_PRECISION=default|high|highest.
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("CHIRPGP_TPU_MATMUL_PRECISION", "high"))
+
 from chirpgp_tpu import quad, models, infer, utils
 
 __version__ = "0.1.0"

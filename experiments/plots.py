@@ -196,6 +196,8 @@ PLOTS = {
     "estimation": plot_estimation,
     "estimation_harmonic": plot_estimation_harmonic,
     "crlb": lambda outdir: plot_crlb(outdir),
+    "crlb_ghf": lambda outdir: plot_crlb(outdir, method="ghf"),
+    "crlb_ekf": lambda outdir: plot_crlb(outdir, method="ekf"),
 }
 
 
@@ -241,8 +243,7 @@ def plot_crlb(outdir, results_dir="./results", method="ekf"):
             ax.semilogy(ts, d["mean_err_v"], "k",
                         label="filter MSE (V)")
             if "pcrlb_v" in d:
-                ax.semilogy(ts, d["pcrlb_v"][1:], "r--",
-                            label="PCRLB (V)")
+                ax.semilogy(ts, d["pcrlb_v"], "r--", label="PCRLB (V)")
             ax.set_title(f"$\\lambda$={lam}, b={b}", fontsize=9)
             if i == len(lams) - 1:
                 ax.set_xlabel("t (s)")
