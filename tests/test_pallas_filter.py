@@ -9,7 +9,7 @@ import numpy.testing as npt
 
 from chirpgp_tpu.infer.batched import sqrt_sgp_filter_batched
 from chirpgp_tpu.models import build_chirp_model, g, g_inv
-from chirpgp_tpu.ops.pallas_filter import ghfs_chirp_filter_pallas
+from chirpgp_tpu.experimental.pallas_filter import ghfs_chirp_filter_pallas
 from chirpgp_tpu.quad import gauss_hermite
 
 
