@@ -48,6 +48,15 @@ _jax.config.update(
     "jax_default_matmul_precision",
     _os.environ.get("CHIRPGP_TPU_MATMUL_PRECISION", "high"))
 
+# Persistent compilation cache: the QR-in-scan filter programs take
+# minutes to compile on remote-compile TPU backends; every runner
+# (sweeps, bench, demos) shares this cache so only the first-ever
+# process pays.  Override the location with CHIRPGP_TPU_JAX_CACHE.
+_jax.config.update(
+    "jax_compilation_cache_dir",
+    _os.environ.get("CHIRPGP_TPU_JAX_CACHE", "/tmp/chirpgp_tpu_jax_cache"))
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from chirpgp_tpu import quad, models, infer, utils
 
 __version__ = "0.1.0"
