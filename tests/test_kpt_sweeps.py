@@ -119,3 +119,37 @@ def test_stepped_sweep_mixed_measurements():
     res_const = mc_mle_sweep_stepped(cfg, keys, "const", T=250)
     npt.assert_allclose(res["rmse"][:2], res_const["rmse"],
                         rtol=1e-5, atol=1e-6)
+
+
+def test_f64_polish_never_worse_and_reaches_f64_optimum():
+    """_polish_lanes_f64 is a warm-started f64 L-BFGS-B refinement: it
+    must never return a lane above its f32 NLL, and from a deliberately
+    detuned iterate it must recover the optimizer's own optimum."""
+    from chirpgp_tpu.apps.pipeline import make_nll_fn
+    from chirpgp_tpu.apps.sweeps import (_polish_lanes_f64,
+                                         toymodel_measurements)
+    from chirpgp_tpu.fit.mle import MLEResult
+
+    keys = generate_rnd_keys(1)
+    cfg = IFEstimationConfig(method="ekfs", max_iters=60)
+    import functools
+    gen = functools.partial(toymodel_measurements, mag_name="const",
+                            dt=cfg.dt, T=250, Xi=cfg.Xi)
+    _, _, ys1 = jax.jit(jax.vmap(gen))(keys)
+    yss = jnp.concatenate([ys1, ys1])   # SAME record in both lanes
+
+    def nll(theta, ys_i):
+        return make_nll_fn(cfg, ys_i)(theta)
+
+    init = cfg.default_init_theta()
+    # detuned starts: lane 0 at the init, lane 1 slightly perturbed
+    theta0 = jnp.stack([init, init + 0.05])
+    v0 = jax.vmap(nll)(theta0, yss)
+    fake = MLEResult(theta0, v0, jnp.zeros(2, jnp.int64),
+                     jnp.ones(2, dtype=bool))
+    out = _polish_lanes_f64(nll, init, fake, yss, max_iters=100)
+    v_polished = np.asarray(out.fun_val)
+    assert np.all(v_polished <= np.asarray(v0) + 1e-3)
+    # both lanes see the same record from nearby starts: same optimum
+    npt.assert_allclose(np.asarray(out.fun_val[0]),
+                        np.asarray(out.fun_val[1]), rtol=0.02)
