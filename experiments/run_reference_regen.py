@@ -301,6 +301,12 @@ def main():
             print(f"[{method} {mag}] seed {mc}: rmse={r:.4f} "
                   f"({time.time() - t0:.1f}s, "
                   f"iters={opt_state.iter_num})", flush=True)
+            # Every seed's objective closes over its own ys (the
+            # reference job structure), so each seed compiles a fresh
+            # XLA program; without clearing, the jit cache grows
+            # unbounded and long regens die with LLVM "Cannot allocate
+            # memory" (observed at ~260 accumulated seeds on cd_ghfs).
+            jax.clear_caches()
 
         r = np.asarray(rmses) * 10
         ok = r[~np.isnan(r)]
