@@ -220,8 +220,9 @@ def _rescue_stuck_lanes(nll, init_theta, theta0, ys, opt,
                       f"({int(res.nit)} iters, success={res.success})",
                       flush=True)
     from chirpgp_tpu.fit.mle import MLEResult
+    val_dtype = np.asarray(jax.device_get(opt.fun_val)).dtype
     return MLEResult(jnp.asarray(params_np),
-                     jnp.asarray(f_fin.astype(np.float32)),
+                     jnp.asarray(f_fin.astype(val_dtype)),
                      jnp.asarray(iters_np), jnp.asarray(succ_np))
 
 
@@ -278,12 +279,20 @@ def _polish_lanes_f64(nll, init_theta, opt, ys, max_iters: int = 200,
                           f"({int(res.nit)} iters)", flush=True)
                 params_np[i] = np.asarray(res.x)
                 f_fin[i] = res.fun
-                succ_np[i] = bool(res.success)
+                # The reference's contract is NaN-on-DIVERGENCE
+                # (jobs/ghfs_mle.py:78-81): a finite polished optimum is a
+                # usable estimate even if SciPy stopped on maxiter or a
+                # line-search hiccup, so don't demote the lane for those.
+                succ_np[i] = True
                 iters_np[i] = iters_np[i] + int(res.nit)
 
     from chirpgp_tpu.fit.mle import MLEResult
-    return MLEResult(jnp.asarray(params_np.astype(np.float32)),
-                     jnp.asarray(f_fin.astype(np.float32)),
+    # Return in the f32-stage dtypes (f32 on TPU, f64 under x64 tests) so
+    # downstream jits see consistent carry dtypes against the measurements.
+    p_dtype = np.asarray(jax.device_get(opt.params)).dtype
+    v_dtype = np.asarray(jax.device_get(opt.fun_val)).dtype
+    return MLEResult(jnp.asarray(params_np.astype(p_dtype)),
+                     jnp.asarray(f_fin.astype(v_dtype)),
                      jnp.asarray(iters_np), jnp.asarray(succ_np))
 
 
