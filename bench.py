@@ -72,22 +72,6 @@ def main():
         sqrt_sgp_filter_smoother_batched, gaussian_expectation_batched)
     from chirpgp_tpu.models.bijections import g as g_fn
 
-    def fn_impl(yss_):
-        # Channels-first batched kernels (MC batch on the TPU lane
-        # dimension), fused filter+smoother: the QR-stable forward pass
-        # emits the affine smoother maps (u, G, D) so the backward scan
-        # is a handful of (d, d, B) einsums per step.  ~1.6x over the
-        # separate filter-then-smoother sqrt path at this config.
-        mss, Pss, nll = sqrt_sgp_filter_smoother_batched(
-            pack.m_and_cov, rule, H32, Xi32, m032, P032, dt32, yss_,
-            return_factors=False)
-        v_mean = mss[:, 2, :]
-        v_std = jnp.sqrt(jnp.maximum(Pss[:, 2, 2, :], 0.0))
-        if_means = gaussian_expectation_batched(v_mean, v_std, g_fn)
-        return if_means.T, nll[-1]
-
-    fn = jax.jit(fn_impl)
-
     def time_call(f, *a):
         out = f(*a)
         jax.block_until_ready(jax.tree.leaves(out)[0])
@@ -99,6 +83,47 @@ def main():
             times.append(time.perf_counter() - t0)
         return min(times), out
 
+    gains = {}
+
+    # --- scan-unroll sweep: the per-step bodies are tiny (d=4 algebra on
+    # (4, 4, B) tiles), so the scan's per-iteration overhead is a real
+    # fraction of the step; unrolling several steps per loop iteration
+    # amortizes it at zero numerical cost (bit-identical output). ---
+    def make_fused(unroll):
+        def fused(yss_):
+            return sqrt_sgp_filter_smoother_batched(
+                pack.m_and_cov, rule, H32, Xi32, m032, P032, dt32, yss_,
+                return_factors=False, unroll=unroll)
+        return fused
+
+    best_unroll, best_unroll_t = 1, None
+    for u in (1, 2, 4, 8):
+        try:
+            t_u, _ = time_call(jax.jit(make_fused(u)), yss)
+        except Exception as e:
+            print(f"unroll={u} failed: {type(e).__name__}", file=sys.stderr)
+            break
+        gains[f"fused_unroll{u}_steps_per_sec"] = round(BATCH * T / t_u, 1)
+        if best_unroll_t is None or t_u < best_unroll_t:
+            best_unroll, best_unroll_t = u, t_u
+    gains["best_unroll"] = best_unroll
+
+    def fn_impl(yss_):
+        # Channels-first batched kernels (MC batch on the TPU lane
+        # dimension), fused filter+smoother: the QR-stable forward pass
+        # emits the affine smoother maps (u, G, D) so the backward scan
+        # is a handful of (d, d, B) einsums per step.  ~1.6x over the
+        # separate filter-then-smoother sqrt path at this config.
+        mss, Pss, nll = sqrt_sgp_filter_smoother_batched(
+            pack.m_and_cov, rule, H32, Xi32, m032, P032, dt32, yss_,
+            return_factors=False, unroll=best_unroll)
+        v_mean = mss[:, 2, :]
+        v_std = jnp.sqrt(jnp.maximum(Pss[:, 2, 2, :], 0.0))
+        if_means = gaussian_expectation_batched(v_mean, v_std, g_fn)
+        return if_means.T, nll[-1]
+
+    fn = jax.jit(fn_impl)
+
     # Warm-up / compile + headline timing (fused filter+smoother + IF).
     if_means, nlls = fn(yss)
     jax.block_until_ready(if_means)
@@ -107,7 +132,8 @@ def main():
               file=sys.stderr)
     best, _ = time_call(fn, yss)
     steps_per_sec = BATCH * T / best
-    print(f"batch={BATCH} T={T} best={best:.4f}s", file=sys.stderr)
+    print(f"batch={BATCH} T={T} best={best:.4f}s unroll={best_unroll}",
+          file=sys.stderr)
 
     # --- decomposition: filter-only and separate filter->smoother paths,
     # and the fused gain at other batch sizes (VERDICT r1 item 10) ---
@@ -125,12 +151,8 @@ def main():
                                              Lfs, dt32)
         return mss, nll
 
-    def fused(yss_):
-        return sqrt_sgp_filter_smoother_batched(
-            pack.m_and_cov, rule, H32, Xi32, m032, P032, dt32, yss_,
-            return_factors=False)
+    fused = make_fused(best_unroll)
 
-    gains = {}
     t_f, _ = time_call(jax.jit(filter_only), yss)
     gains["filter_only_steps_per_sec"] = round(BATCH * T / t_f, 1)
     t_sep, _ = time_call(jax.jit(separate), yss)

@@ -300,6 +300,7 @@ def mle_sweep_on_measurements(cfg: IFEstimationConfig,
                               true_freqs: jnp.ndarray, ys: jnp.ndarray,
                               init_theta: Optional[jnp.ndarray] = None,
                               polish_f64: bool = True,
+                              checkpoint_path: Optional[str] = None,
                               verbose: bool = False) -> Dict[str, np.ndarray]:
     """Host-stepped batched MLE sweep over pre-generated measurement
     batches ``(B, T)`` -- lets callers mix scenarios (e.g. all three
@@ -307,7 +308,10 @@ def mle_sweep_on_measurements(cfg: IFEstimationConfig,
 
     ``polish_f64`` appends the per-lane float64-CPU warm-started polish
     (:func:`_polish_lanes_f64`) that closes the f32 plateau gap to the
-    reference's f64 optimizer semantics."""
+    reference's f64 optimizer semantics.  ``checkpoint_path`` enables
+    the stepped optimizer's wedge-recovery checkpointing (resume an
+    interrupted sweep from the same path; the file is NOT deleted here
+    -- callers harvest the result first, then remove it)."""
     if init_theta is None:
         init_theta = cfg.default_init_theta()
     flt, smt = _filter_fns(cfg)
@@ -321,6 +325,7 @@ def mle_sweep_on_measurements(cfg: IFEstimationConfig,
                                  max_iters=cfg.max_iters,
                                  ftol_rel=cfg.ftol_rel,
                                  patience=cfg.stall_patience,
+                                 checkpoint_path=checkpoint_path,
                                  verbose=verbose)
     opt = _rescue_stuck_lanes(nll, init_theta, theta0, ys, opt,
                               max_iters=cfg.max_iters, verbose=verbose)
@@ -386,6 +391,11 @@ def mc_kpt_sweep(keys: jnp.ndarray, mag_name: str, Xi: float = 0.1,
                                      patience=10, verbose=verbose)
         opt = _rescue_stuck_lanes(nll, init_theta, theta0, yss, opt,
                                   max_iters=max_iters, verbose=verbose)
+        # Same f64-CPU polish as the SSM sweeps: a handful of harmonic-KPT
+        # lanes land on an f32 plateau several x above the f64 optimum the
+        # reference reaches (seeds 4/35 damped, diagnosed r3).
+        opt = _polish_lanes_f64(nll, init_theta, opt, yss,
+                                max_iters=max_iters, verbose=verbose)
 
         def est(theta, tf_i, ys_i, success):
             params = g_fn(theta)

@@ -12,6 +12,7 @@ Two optimizers over the filter-marginal negative log-likelihood:
   divergent Monte-Carlo runs as NaN (``tetralith/jobs/ghfs_mle.py:78-81``).
 """
 
+import os as _os
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -105,6 +106,8 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
                            memory_size: int = 15,
                            max_linesearch_steps: int = 15,
                            ftol_rel: float = 1e-6, patience: int = 3,
+                           checkpoint_path: Optional[str] = None,
+                           checkpoint_every: int = 5,
                            verbose: bool = False) -> MLEResult:
     """Batched L-BFGS advanced ONE iteration per device dispatch.
 
@@ -130,6 +133,17 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
     optimizer math as :func:`lbfgs_minimize`, sliced differently in time.
     Results per seed are identical to a vmapped monolithic run up to the
     freezing of converged seeds.
+
+    ``checkpoint_path`` enables crash/wedge recovery for long sweeps on
+    flaky backends (the tunneled TPU worker can wedge a dispatch
+    indefinitely -- PARITY.md backend notes): every ``checkpoint_every``
+    iterations the host-side sweep state (current + best iterates, stall
+    counters, iteration index) is written atomically to that path, and a
+    fresh call with the same path RESUMES from it instead of restarting.
+    The optax L-BFGS curvature memory is deliberately NOT serialized --
+    resumption warm-restarts L-BFGS from the saved iterate (same
+    optimum, a few extra iterations to rebuild curvature).  Delete the
+    file after harvesting the result.
     """
     opt = optax.lbfgs(
         memory_size=memory_size,
@@ -163,29 +177,63 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
 
     step_j = jax.jit(jax.vmap(one_step, in_axes=(0, 0, 0, 0)))
     B = init_params.shape[0]
-    params = init_params
-    state = jax.vmap(opt.init)(init_params)
-    # Host-side stall freeze: scipy L-BFGS-B's ftol rule adapted to f32 --
-    # a seed whose NLL improves by < ftol_rel * max(1, |f|) for `patience`
-    # consecutive iterations has converged for all practical purposes
-    # (f32 gradient norms rarely reach a fixed small tol).
-    # best starts at f(init) so the returned iterate can never be worse
-    # than the init point (a failed first line search can step uphill).
-    f_init_j = jax.jit(jax.vmap(lambda p, *a: fun(p, *a)))
-    best = np.asarray(jax.device_get(f_init_j(init_params, *batch_args)),
-                      dtype=np.float64)
-    stall = np.zeros((B,), dtype=np.int64)
-    still_going = jnp.ones((B,), dtype=bool)
-    # Best-iterate tracking: a failed zoom line search can step UPHILL
-    # (observed: lanes retired thousands of nats above their own best
-    # point), so the returned iterate is the lowest-NLL one each lane
-    # ever visited, not the last.  Params are a few floats per lane --
-    # the per-iteration host transfer is negligible next to the filter
-    # dispatch itself.
-    best_params = np.asarray(jax.device_get(init_params)).copy()
-    best_count = np.zeros((B,), dtype=np.int64)
-    params_np = best_params
-    for it in range(max_iters):
+
+    ckpt = None
+    if checkpoint_path is not None and _os.path.exists(checkpoint_path):
+        ckpt = np.load(checkpoint_path)
+        if ckpt["params"].shape != tuple(init_params.shape):
+            ckpt = None   # stale checkpoint from a different sweep shape
+
+    if ckpt is not None:
+        it0 = int(ckpt["it"])
+        params = jnp.asarray(ckpt["params"])
+        best = np.asarray(ckpt["best"], dtype=np.float64)
+        best_params = np.asarray(ckpt["best_params"]).copy()
+        best_count = np.asarray(ckpt["best_count"]).copy()
+        stall = np.asarray(ckpt["stall"]).copy()
+        still_going = jnp.asarray(ckpt["still_going"])
+        params_np = np.asarray(ckpt["params"]).copy()
+        if verbose:
+            print(f"  lbfgs resume from {checkpoint_path} at iter {it0} "
+                  f"(active={int(np.sum(np.asarray(still_going)))})",
+                  flush=True)
+    else:
+        it0 = 0
+        params = init_params
+        # Host-side stall freeze: scipy L-BFGS-B's ftol rule adapted to
+        # f32 -- a seed whose NLL improves by < ftol_rel * max(1, |f|)
+        # for `patience` consecutive iterations has converged for all
+        # practical purposes (f32 gradient norms rarely reach a fixed
+        # small tol).  best starts at f(init) so the returned iterate can
+        # never be worse than the init point (a failed first line search
+        # can step uphill).
+        f_init_j = jax.jit(jax.vmap(lambda p, *a: fun(p, *a)))
+        best = np.asarray(
+            jax.device_get(f_init_j(init_params, *batch_args)),
+            dtype=np.float64)
+        stall = np.zeros((B,), dtype=np.int64)
+        still_going = jnp.ones((B,), dtype=bool)
+        # Best-iterate tracking: a failed zoom line search can step
+        # UPHILL (observed: lanes retired thousands of nats above their
+        # own best point), so the returned iterate is the lowest-NLL one
+        # each lane ever visited, not the last.  Params are a few floats
+        # per lane -- the per-iteration host transfer is negligible next
+        # to the filter dispatch itself.
+        best_params = np.asarray(jax.device_get(init_params)).copy()
+        best_count = np.zeros((B,), dtype=np.int64)
+        params_np = best_params
+
+    state = jax.vmap(opt.init)(params)
+
+    def _save_ckpt(it_next):
+        tmp = checkpoint_path + ".tmp.npz"   # np.savez appends .npz itself
+        np.savez(tmp[:-4], it=it_next, params=params_np, best=best,
+                 best_params=best_params, best_count=best_count,
+                 stall=stall,
+                 still_going=np.asarray(jax.device_get(still_going)))
+        _os.replace(tmp, checkpoint_path)
+
+    for it in range(it0, max_iters):
         params, state, active = step_j(params, state, batch_args,
                                        still_going)
         vals = np.asarray(jax.device_get(otu.tree_get(state, "value")))
@@ -202,6 +250,8 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
         active_np = np.asarray(jax.device_get(active))
         still_going = jnp.asarray(active_np & (stall < patience))
         n_active = int(np.sum(np.asarray(jax.device_get(still_going))))
+        if checkpoint_path is not None and (it + 1) % checkpoint_every == 0:
+            _save_ckpt(it + 1)
         if verbose:
             print(f"  lbfgs iter {it + 1}: active={n_active} "
                   f"median_nll={float(np.nanmedian(vals)):.3f}",

@@ -111,11 +111,15 @@ def _one_hot_index(H) -> int:
 
 
 def sqrt_sgp_filter_batched(cond_m_cov, sgps: SigmaPoints, H, Xi,
-                            m0, P0, dt, yss) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                            m0, P0, dt, yss,
+                            unroll: int = 1
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched sqrt sigma-point filter.
 
     ``yss``: (B, T) measurement sequences.  Returns mfs (T, d, B),
-    Lfs (T, d, d, B), nll (T, B) cumulative.
+    Lfs (T, d, d, B), nll (T, B) cumulative.  ``unroll`` is forwarded
+    to the ``lax.scan`` (bit-identical results; amortizes per-step loop
+    overhead on tiny bodies).
     """
     _require_nonneg_weights(sgps, "sqrt_sgp_filter_batched")
     trans = as_transition(cond_m_cov)
@@ -141,7 +145,7 @@ def sqrt_sgp_filter_batched(cond_m_cov, sgps: SigmaPoints, H, Xi,
         return (mf, Lf, nll), (mf, Lf, nll)
 
     init = (m_init, L_init, jnp.zeros((B,), dtype))
-    _, (mfs, Lfs, nlls) = jax.lax.scan(step, init, ys_t)
+    _, (mfs, Lfs, nlls) = jax.lax.scan(step, init, ys_t, unroll=unroll)
     return mfs, Lfs, nlls
 
 
@@ -205,7 +209,8 @@ def _backsub_cf(R11: jnp.ndarray, R12: jnp.ndarray, d: int) -> jnp.ndarray:
 
 def sqrt_sgp_filter_smoother_batched(cond_m_cov, sgps: SigmaPoints, H, Xi,
                                      m0, P0, dt, yss,
-                                     return_factors: bool = True
+                                     return_factors: bool = True,
+                                     unroll: int = 1
                                      ) -> Tuple[jnp.ndarray, jnp.ndarray,
                                                 jnp.ndarray]:
     """Fused batched sqrt sigma-point filter + smoother.
@@ -236,6 +241,12 @@ def sqrt_sgp_filter_smoother_batched(cond_m_cov, sgps: SigmaPoints, H, Xi,
     filtered factors; the return value is then ``(mss, Pss, nll)`` with
     FULL covariances instead of Cholesky factors.  The forward pass --
     and hence the f32 accuracy of every ingredient -- is identical.
+
+    ``unroll`` is forwarded to the forward/backward ``lax.scan`` calls:
+    the per-step bodies are tiny (d <= 8 algebra on (d, d, B) tiles), so
+    unrolling several steps per loop iteration amortizes the scan's
+    per-iteration control/dispatch overhead on TPU.  Bit-identical
+    results for any value.
     """
     _require_nonneg_weights(sgps, "sqrt_sgp_filter_smoother_batched")
     trans = as_transition(cond_m_cov)
@@ -309,7 +320,8 @@ def sqrt_sgp_filter_smoother_batched(cond_m_cov, sgps: SigmaPoints, H, Xi,
     init = (m_init, L_init, jnp.zeros((B,), dtype))
 
     if return_factors:
-        (mf_T, Lf_T, _), (nlls, packs) = jax.lax.scan(fstep, init, yss.T)
+        (mf_T, Lf_T, _), (nlls, packs) = jax.lax.scan(fstep, init, yss.T,
+                                                      unroll=unroll)
 
         # Backward element k smooths time k: pair mf_k (row k) with the
         # joint quantities computed at filter iteration k+1 (row k+1).
@@ -335,12 +347,14 @@ def sqrt_sgp_filter_smoother_batched(cond_m_cov, sgps: SigmaPoints, H, Xi,
             return (ms, Ls), (ms, Ls)
 
         _, (mss, Lss) = jax.lax.scan(bstep, (mf_T, Lf_T),
-                                     jnp.arange(T - 1), reverse=True)
+                                     jnp.arange(T - 1), reverse=True,
+                                     unroll=unroll)
         mss = jnp.concatenate([mss, mf_T[None]])
         Lss = jnp.concatenate([Lss, Lf_T[None]])
         return mss, Lss, nlls
 
-    (mf_T, Lf_T, _), (nlls, packs) = jax.lax.scan(fstep, init, yss.T)
+    (mf_T, Lf_T, _), (nlls, packs) = jax.lax.scan(fstep, init, yss.T,
+                                                  unroll=unroll)
 
     # The maps emitted at iteration t smooth time t-1 given time t, so
     # backward element k uses row k+1; rows are read with
@@ -359,7 +373,8 @@ def sqrt_sgp_filter_smoother_batched(cond_m_cov, sgps: SigmaPoints, H, Xi,
 
     Pf_T = jnp.einsum("ikb,jkb->ijb", Lf_T, Lf_T)
     _, (mss, Pss) = jax.lax.scan(bstep_cov, (mf_T, Pf_T),
-                                 jnp.arange(T - 1), reverse=True)
+                                 jnp.arange(T - 1), reverse=True,
+                                 unroll=unroll)
     mss = jnp.concatenate([mss, mf_T[None]])
     Pss = jnp.concatenate([Pss, Pf_T[None]])
     return mss, Pss, nlls

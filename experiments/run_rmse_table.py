@@ -135,9 +135,14 @@ def main():
                     _, tf, ys = jax.jit(jax.vmap(gen))(keys)
                 tf_parts.append(tf)
                 ys_parts.append(ys)
+            # Wedge-recovery checkpoint: the tunneled TPU worker can hang
+            # a dispatch forever mid-sweep; a supervisor that kills the
+            # process and reruns this command resumes the stepped L-BFGS
+            # from the last checkpoint instead of iteration 0.
+            ckpt = _os.path.join(args.out, f".ckpt_{method}.npz")
             res = mle_sweep_on_measurements(
                 cfg, jnp.concatenate(tf_parts), jnp.concatenate(ys_parts),
-                verbose=True)
+                checkpoint_path=ckpt, verbose=True)
             n = keys.shape[0]
             by_mag = {}
             for i, mag in enumerate(args.mags):
@@ -146,6 +151,8 @@ def main():
                 print(f"saved {path}", flush=True)
                 by_mag[mag] = r
             all_results[method] = by_mag
+            if _os.path.exists(ckpt):
+                _os.remove(ckpt)
         print_rmse_table(all_results)
         return
 

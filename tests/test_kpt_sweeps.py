@@ -153,3 +153,38 @@ def test_f64_polish_never_worse_and_reaches_f64_optimum():
     # both lanes see the same record from nearby starts: same optimum
     npt.assert_allclose(np.asarray(out.fun_val[0]),
                         np.asarray(out.fun_val[1]), rtol=0.02)
+
+
+def test_stepped_checkpoint_resume(tmp_path):
+    """Wedge-recovery checkpointing: an interrupted stepped sweep
+    resumes from its checkpoint and lands on the same optima as an
+    uninterrupted run (fresh L-BFGS memory after resume is allowed a
+    small tolerance)."""
+    from chirpgp_tpu.fit.mle import lbfgs_minimize_stepped
+
+    def quartic(p, a):
+        return jnp.sum((p - a) ** 2) + 0.1 * jnp.sum(p ** 4)
+
+    B = 4
+    init = jnp.zeros((B, 3))
+    targets = jnp.arange(B * 3, dtype=init.dtype).reshape(B, 3) / 10.0
+    ck = str(tmp_path / "ck.npz")
+
+    full = lbfgs_minimize_stepped(quartic, init, (targets,),
+                                  max_iters=50, ftol_rel=1e-10)
+    # "Interrupted" run: stops after 4 iterations, checkpointing every 2.
+    lbfgs_minimize_stepped(quartic, init, (targets,), max_iters=4,
+                           checkpoint_path=ck, checkpoint_every=2)
+    import os
+    assert os.path.exists(ck)
+    resumed = lbfgs_minimize_stepped(quartic, init, (targets,),
+                                     max_iters=50, ftol_rel=1e-10,
+                                     checkpoint_path=ck,
+                                     checkpoint_every=2)
+    npt.assert_allclose(np.asarray(resumed.fun_val),
+                        np.asarray(full.fun_val), rtol=1e-3, atol=1e-5)
+    # A checkpoint from a different sweep shape must be ignored.
+    other = lbfgs_minimize_stepped(quartic, jnp.zeros((2, 3)),
+                                   (targets[:2],), max_iters=3,
+                                   checkpoint_path=ck)
+    assert other.params.shape == (2, 3)
