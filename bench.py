@@ -15,12 +15,28 @@ of ``chirpgp/filters_smoothers.py:446-531`` + ``chirpgp/models.py:264-311``)
 measured on this host's CPU in float64, the reference's actual operating
 point (it is CPU/f64-only and loops seeds in Python:
 ``tetralith/jobs/ghfs_mle.py:26-87``).
+
+Failure isolation (round-3 postmortem: a knee-sweep OOM leaked buffers,
+poisoned the next section, and the single end-of-run JSON print lost the
+whole round's record -- BENCH_r03.json rc=1):
+
+- the headline is measured FIRST and held in the result dict from that
+  moment on; the final JSON print runs in a ``finally`` so whatever was
+  measured always lands on stdout, and the exit code is 0 whenever the
+  headline exists;
+- every auxiliary section runs in its own function under ``_section`` --
+  an exception is recorded as ``{name}_error`` instead of propagating, and
+  section-local device buffers die with the function scope (plus an
+  explicit gc) before the next section starts;
+- the OOM-prone batch-knee sweep runs LAST so it cannot poison anything.
 """
 
+import gc
 import json
 import math
 import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
@@ -40,8 +56,34 @@ BATCH = 4096
 REPEATS = 5
 
 
+def time_call(f, *a):
+    out = f(*a)
+    jax.block_until_ready(jax.tree.leaves(out)[0])
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        out = f(*a)
+        jax.block_until_ready(jax.tree.leaves(out)[0])
+        times.append(time.perf_counter() - t0)
+    return min(times), out
+
+
+def _section(result, name, fn):
+    """Run one auxiliary bench section; a failure is recorded, not fatal.
+    Section-local device buffers are freed (scope death + gc) either way."""
+    try:
+        fn(result)
+    except Exception as e:
+        print(f"section {name} failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        traceback.print_exc(limit=3, file=sys.stderr)
+        result[f"{name}_error"] = type(e).__name__
+    finally:
+        gc.collect()
+
+
 def main():
-    from chirpgp_tpu.apps import IFEstimationConfig, estimate_if
+    from chirpgp_tpu.apps import IFEstimationConfig
     from chirpgp_tpu.models import g
     from chirpgp_tpu.toymodels import gen_chirp, constant_mag, meow_freq
 
@@ -72,19 +114,6 @@ def main():
         sqrt_sgp_filter_smoother_batched, gaussian_expectation_batched)
     from chirpgp_tpu.models.bijections import g as g_fn
 
-    def time_call(f, *a):
-        out = f(*a)
-        jax.block_until_ready(jax.tree.leaves(out)[0])
-        times = []
-        for _ in range(REPEATS):
-            t0 = time.perf_counter()
-            out = f(*a)
-            jax.block_until_ready(jax.tree.leaves(out)[0])
-            times.append(time.perf_counter() - t0)
-        return min(times), out
-
-    gains = {}
-
     # --- scan-unroll sweep: the per-step bodies are tiny (d=4 algebra on
     # (4, 4, B) tiles), so the scan's per-iteration overhead is a real
     # fraction of the step; unrolling several steps per loop iteration
@@ -96,13 +125,18 @@ def main():
                 return_factors=False, unroll=unroll)
         return fused
 
+    gains = {}
     best_unroll, best_unroll_t = 1, None
     for u in (1, 2, 4, 8):
         try:
             t_u, _ = time_call(jax.jit(make_fused(u)), yss)
         except Exception as e:
+            # Keep trying later unroll values (a transient backend hiccup
+            # on one compile must not pin the headline to unroll=1), and
+            # surface the failure in the result rather than only stderr.
             print(f"unroll={u} failed: {type(e).__name__}", file=sys.stderr)
-            break
+            gains[f"fused_unroll{u}_steps_per_sec"] = None
+            continue
         gains[f"fused_unroll{u}_steps_per_sec"] = round(BATCH * T / t_u, 1)
         if best_unroll_t is None or t_u < best_unroll_t:
             best_unroll, best_unroll_t = u, t_u
@@ -130,138 +164,169 @@ def main():
     if not bool(jnp.all(jnp.isfinite(if_means))):
         print("WARNING: non-finite IF means in f32 benchmark run",
               file=sys.stderr)
+    del if_means, nlls
     best, _ = time_call(fn, yss)
     steps_per_sec = BATCH * T / best
     print(f"batch={BATCH} T={T} best={best:.4f}s unroll={best_unroll}",
           file=sys.stderr)
 
+    # From here on the headline exists; everything else is best-effort and
+    # must never lose it (the finally in run() prints whatever we have).
+    result = {
+        "metric": "ghfs_filter_smoother_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 1),
+        "unit": ("steps/sec/chip (batch=4096 seeds, T=3141, d=4, GH-3, "
+                 "f32, sqrt channels-first)"),
+        "vs_baseline": round(
+            steps_per_sec / REFERENCE_BASELINE_STEPS_PER_SEC, 2),
+        **gains,
+    }
+
     # --- decomposition: filter-only and separate filter->smoother paths,
     # and the fused gain at other batch sizes (VERDICT r1 item 10) ---
-    from chirpgp_tpu.infer.batched import (
-        sqrt_sgp_filter_batched, sqrt_sgp_smoother_batched)
+    def sec_decomposition(res):
+        from chirpgp_tpu.infer.batched import (
+            sqrt_sgp_filter_batched, sqrt_sgp_smoother_batched)
 
-    def filter_only(yss_):
-        return sqrt_sgp_filter_batched(pack.m_and_cov, rule, H32, Xi32,
-                                       m032, P032, dt32, yss_)
+        def filter_only(yss_):
+            return sqrt_sgp_filter_batched(pack.m_and_cov, rule, H32, Xi32,
+                                           m032, P032, dt32, yss_)
 
-    def separate(yss_):
-        mfs, Lfs, nll = sqrt_sgp_filter_batched(
-            pack.m_and_cov, rule, H32, Xi32, m032, P032, dt32, yss_)
-        mss, Lss = sqrt_sgp_smoother_batched(pack.m_and_cov, rule, mfs,
-                                             Lfs, dt32)
-        return mss, nll
+        def separate(yss_):
+            mfs, Lfs, nll = sqrt_sgp_filter_batched(
+                pack.m_and_cov, rule, H32, Xi32, m032, P032, dt32, yss_)
+            mss, Lss = sqrt_sgp_smoother_batched(pack.m_and_cov, rule, mfs,
+                                                 Lfs, dt32)
+            return mss, nll
 
-    fused = make_fused(best_unroll)
-
-    t_f, _ = time_call(jax.jit(filter_only), yss)
-    gains["filter_only_steps_per_sec"] = round(BATCH * T / t_f, 1)
-    t_sep, _ = time_call(jax.jit(separate), yss)
-    gains["separate_fs_steps_per_sec"] = round(BATCH * T / t_sep, 1)
-    gains["fused_gain_vs_separate_B4096"] = round(t_sep / best, 2)
-    for B2 in (1024,):
-        yss2 = jnp.tile(yss, (max(B2 // BATCH, 1), 1))[:B2]
-        t_fu, _ = time_call(jax.jit(fused), yss2)
-        t_s2, _ = time_call(jax.jit(separate), yss2)
-        gains[f"fused_steps_per_sec_B{B2}"] = round(B2 * T / t_fu, 1)
-        gains[f"fused_gain_vs_separate_B{B2}"] = round(t_s2 / t_fu, 2)
-
-    # --- batch knee: push the fused path until steps/s/chip peaks
-    # (VERDICT r2 #5: 22.0M at B=8192 was still rising).  Guarded against
-    # HBM OOM: Pss alone is T*d*d*B*4 bytes (6.4 GB at B=32768). ---
-    peak_rate, peak_B = steps_per_sec, BATCH
-    for B2 in (8192, 16384, 32768):
-        try:
+        fused = make_fused(best_unroll)
+        t_f, _ = time_call(jax.jit(filter_only), yss)
+        res["filter_only_steps_per_sec"] = round(BATCH * T / t_f, 1)
+        t_sep, _ = time_call(jax.jit(separate), yss)
+        res["separate_fs_steps_per_sec"] = round(BATCH * T / t_sep, 1)
+        res["fused_gain_vs_separate_B4096"] = round(t_sep / best, 2)
+        for B2 in (1024,):
             yss2 = jnp.tile(yss, (max(B2 // BATCH, 1), 1))[:B2]
             t_fu, _ = time_call(jax.jit(fused), yss2)
-        except Exception as e:   # XlaRuntimeError OOM etc.
-            print(f"knee sweep stopped at B={B2}: {type(e).__name__}",
-                  file=sys.stderr)
-            break
-        rate = B2 * T / t_fu
-        gains[f"fused_steps_per_sec_B{B2}"] = round(rate, 1)
-        if rate > peak_rate:
-            peak_rate, peak_B = rate, B2
-    gains["peak_batch"] = peak_B
-    gains["peak_steps_per_sec"] = round(peak_rate, 1)
+            t_s2, _ = time_call(jax.jit(separate), yss2)
+            res[f"fused_steps_per_sec_B{B2}"] = round(B2 * T / t_fu, 1)
+            res[f"fused_gain_vs_separate_B{B2}"] = round(t_s2 / t_fu, 2)
 
     # --- parallel-in-time (temporal parallelism, SURVEY §5): the
     # associative-scan KF/RTS and the iterated-SLR parallel sigma-point
     # smoother on ONE long record vs the sequential scans.  This is the
     # latency story for single long records (bats T~25k), orthogonal to
     # the batch-throughput story above. ---
-    from chirpgp_tpu.infer import kf, rts, sgp_filter, sgp_smoother
-    from chirpgp_tpu.infer.parallel_kf import kf_rts_parallel
-    from chirpgp_tpu.infer.parallel_sgp import psgp_filter_smoother
-    from chirpgp_tpu.models import m32_solution, stationary_cov_m32
+    def sec_parallel_in_time(res):
+        from chirpgp_tpu.infer import kf, rts
+        from chirpgp_tpu.infer.parallel_kf import kf_rts_parallel
+        from chirpgp_tpu.models import m32_solution, stationary_cov_m32
 
-    for T_long in (T, 25000):
-        F32, Sig32 = (a.astype(jnp.float32)
-                      for a in m32_solution(1.0, 1.0, DT))
-        H2 = jnp.array([1.0, 0.0], jnp.float32)
-        P02 = stationary_cov_m32(1.0, 1.0).astype(jnp.float32)
-        m02 = jnp.zeros(2, jnp.float32)
-        ys1 = (base[:T_long] if T_long <= T else
-               jnp.tile(base, (T_long // T + 1,))[:T_long])
+        for T_long in (T, 25000):
+            F32, Sig32 = (a.astype(jnp.float32)
+                          for a in m32_solution(1.0, 1.0, DT))
+            H2 = jnp.array([1.0, 0.0], jnp.float32)
+            P02 = stationary_cov_m32(1.0, 1.0).astype(jnp.float32)
+            m02 = jnp.zeros(2, jnp.float32)
+            ys1 = (base[:T_long] if T_long <= T else
+                   jnp.tile(base, (T_long // T + 1,))[:T_long])
 
-        def seq_kf_rts(ys_):
-            mfs, Pfs, nll = kf(F32, Sig32, H2, Xi32, m02, P02, ys_)
-            return rts(F32, Sig32, mfs, Pfs), nll
+            def seq_kf_rts(ys_):
+                mfs, Pfs, nll = kf(F32, Sig32, H2, Xi32, m02, P02, ys_)
+                return rts(F32, Sig32, mfs, Pfs), nll
 
-        def par_kf_rts(ys_):
-            return kf_rts_parallel(F32, Sig32, H2, Xi32, m02, P02, ys_)
+            def par_kf_rts(ys_):
+                return kf_rts_parallel(F32, Sig32, H2, Xi32, m02, P02, ys_)
 
-        t_seq, _ = time_call(jax.jit(seq_kf_rts), ys1)
-        t_par, _ = time_call(jax.jit(par_kf_rts), ys1)
-        gains[f"kf_rts_seq_steps_per_sec_T{T_long}"] = round(T_long / t_seq, 1)
-        gains[f"kf_rts_parallel_steps_per_sec_T{T_long}"] = \
-            round(T_long / t_par, 1)
-        gains[f"kf_rts_parallel_speedup_T{T_long}"] = round(t_seq / t_par, 2)
+            t_seq, _ = time_call(jax.jit(seq_kf_rts), ys1)
+            t_par, _ = time_call(jax.jit(par_kf_rts), ys1)
+            res[f"kf_rts_seq_steps_per_sec_T{T_long}"] = \
+                round(T_long / t_seq, 1)
+            res[f"kf_rts_parallel_steps_per_sec_T{T_long}"] = \
+                round(T_long / t_par, 1)
+            res[f"kf_rts_parallel_speedup_T{T_long}"] = \
+                round(t_seq / t_par, 2)
 
-    # Nonlinear temporal parallelism: ONE iteration of the iterated-SLR
-    # parallel sigma-point filter+smoother (each iteration = one parallel
-    # filter + smoother over the whole record) vs the sequential
-    # sigma-point filter+smoother on the chirp model, single record.
-    ys_one = yss[0]
+    def sec_parallel_sgp(res):
+        # Nonlinear temporal parallelism: ONE iteration of the
+        # iterated-SLR parallel sigma-point filter+smoother (each
+        # iteration = one parallel filter + smoother over the whole
+        # record) vs the sequential sigma-point filter+smoother on the
+        # chirp model, single record.
+        from chirpgp_tpu.infer import sgp_filter, sgp_smoother
+        from chirpgp_tpu.infer.parallel_sgp import psgp_filter_smoother
 
-    def seq_sgp_fs(ys_):
-        mfs, Pfs, _ = sgp_filter(pack.m_and_cov, rule, H32, Xi32, m032,
-                                 P032, dt32, ys_)
-        return sgp_smoother(pack.m_and_cov, rule, mfs, Pfs, dt32)
+        ys_one = yss[0]
 
-    def par_sgp_fs(ys_):
-        return psgp_filter_smoother(pack.m_and_cov, rule, H32, Xi32,
-                                    m032, P032, dt32, ys_, num_iters=1)
+        def seq_sgp_fs(ys_):
+            mfs, Pfs, _ = sgp_filter(pack.m_and_cov, rule, H32, Xi32, m032,
+                                     P032, dt32, ys_)
+            return sgp_smoother(pack.m_and_cov, rule, mfs, Pfs, dt32)
 
-    t_seq_s, _ = time_call(jax.jit(seq_sgp_fs), ys_one)
-    t_par_s, _ = time_call(jax.jit(par_sgp_fs), ys_one)
-    gains["sgp_fs_seq_steps_per_sec_T3141"] = round(T / t_seq_s, 1)
-    gains["psgp_fs_per_iter_steps_per_sec_T3141"] = round(T / t_par_s, 1)
-    gains["psgp_per_iter_speedup_T3141"] = round(t_seq_s / t_par_s, 2)
+        def par_sgp_fs(ys_):
+            return psgp_filter_smoother(pack.m_and_cov, rule, H32, Xi32,
+                                        m032, P032, dt32, ys_, num_iters=1)
 
-    # Rough roofline accounting (per seed-step, fused cov-output path):
-    # HBM traffic is the scan carry IO + per-step outputs, ~(2d + d^2
-    # carry + d + 2 d^2 + 1 outputs) f32 words ~= 57 * 4 B ~= 228 B/step;
-    # FLOPs are dominated by the S=81-point propagation + two
-    # triangularizations, ~1.1e4 FLOP/step.  At the measured rate the
-    # implied HBM draw and FLOP draw are both far below the v5e's
-    # 819 GB/s / 197 TFLOP/s peaks: the kernel is latency-bound on the
-    # sequential T-scan, which is why fusing the backward pass (fewer
-    # scans) wins wall-clock.
-    bytes_per_step = 228
-    flops_per_step = 1.1e4
-    gains["roofline_hbm_gbps_at_rate"] = round(
-        steps_per_sec * bytes_per_step / 1e9, 2)
-    gains["roofline_tflops_at_rate"] = round(
-        steps_per_sec * flops_per_step / 1e12, 3)
+        t_seq_s, _ = time_call(jax.jit(seq_sgp_fs), ys_one)
+        t_par_s, _ = time_call(jax.jit(par_sgp_fs), ys_one)
+        res["sgp_fs_seq_steps_per_sec_T3141"] = round(T / t_seq_s, 1)
+        res["psgp_fs_per_iter_steps_per_sec_T3141"] = round(T / t_par_s, 1)
+        res["psgp_per_iter_speedup_T3141"] = round(t_seq_s / t_par_s, 2)
 
-    result = {
-        "metric": "ghfs_filter_smoother_steps_per_sec_per_chip",
-        "value": round(steps_per_sec, 1),
-        "unit": "steps/sec/chip (batch=4096 seeds, T=3141, d=4, GH-3, f32, sqrt channels-first)",
-        "vs_baseline": round(steps_per_sec / REFERENCE_BASELINE_STEPS_PER_SEC, 2),
-        **gains,
-    }
-    print(json.dumps(result))
+    # --- batch knee: push the fused path until steps/s/chip peaks
+    # (VERDICT r2 #5).  Runs LAST: an HBM OOM here (Pss alone is
+    # T*d*d*B*4 bytes = 3.3 GB at B=16384) can leak buffers on the
+    # experimental backend and poison subsequent dispatches. ---
+    def sec_batch_knee(res):
+        fused = make_fused(best_unroll)
+        peak_rate, peak_B = steps_per_sec, BATCH
+        for B2 in (8192, 16384, 32768):
+            yss2 = None
+            try:
+                yss2 = jnp.tile(yss, (max(B2 // BATCH, 1), 1))[:B2]
+                t_fu, _ = time_call(jax.jit(fused), yss2)
+            except Exception as e:   # XlaRuntimeError OOM etc.
+                print(f"knee sweep stopped at B={B2}: {type(e).__name__}",
+                      file=sys.stderr)
+                break
+            finally:
+                del yss2
+                gc.collect()
+            rate = B2 * T / t_fu
+            res[f"fused_steps_per_sec_B{B2}"] = round(rate, 1)
+            if rate > peak_rate:
+                peak_rate, peak_B = rate, B2
+        res["peak_batch"] = peak_B
+        res["peak_steps_per_sec"] = round(peak_rate, 1)
+
+    def sec_roofline(res):
+        # Rough roofline accounting (per seed-step, fused cov-output
+        # path): HBM traffic is the scan carry IO + per-step outputs,
+        # ~(2d + d^2 carry + d + 2 d^2 + 1 outputs) f32 words ~= 57 * 4 B
+        # ~= 228 B/step; FLOPs are dominated by the S=81-point propagation
+        # + two triangularizations, ~1.1e4 FLOP/step.  At the measured
+        # rate the implied HBM draw and FLOP draw are both far below the
+        # v5e's 819 GB/s / 197 TFLOP/s peaks: the kernel is latency-bound
+        # on the sequential T-scan, which is why fusing the backward pass
+        # (fewer scans) wins wall-clock.
+        bytes_per_step = 228
+        flops_per_step = 1.1e4
+        res["roofline_hbm_gbps_at_rate"] = round(
+            steps_per_sec * bytes_per_step / 1e9, 2)
+        res["roofline_tflops_at_rate"] = round(
+            steps_per_sec * flops_per_step / 1e12, 3)
+
+    try:
+        _section(result, "decomposition", sec_decomposition)
+        _section(result, "parallel_in_time", sec_parallel_in_time)
+        _section(result, "parallel_sgp", sec_parallel_sgp)
+        _section(result, "roofline", sec_roofline)
+        _section(result, "batch_knee", sec_batch_knee)
+    finally:
+        # The one JSON line the driver records.  Printed in a finally so
+        # even an un-isolated failure (or a KeyboardInterrupt mid-section)
+        # cannot lose the headline measurement.
+        print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -271,8 +271,21 @@ def _polish_lanes_f64(nll, init_theta, opt, ys, max_iters: int = 200,
 
             res = minimize(f_np, x0, method="L-BFGS-B", jac=True,
                            options={"maxiter": max_iters})
-            if np.isfinite(res.fun):
-                if verbose and (not np.isfinite(f_fin[i])
+            # Acceptance guard (round-3 advisor): polish from a FINITE f32
+            # iterate is monotone in f64 terms, so a polished value above
+            # the incoming one (beyond f32<->f64 evaluation slack, ~1e-4
+            # relative at O(1e3) nats) signals the polish ran from the
+            # init64 fallback and never converged -- keep the f32 result.
+            # Lanes whose f32 stage went non-finite have no result to
+            # keep; accept their init64-restart polish only when SciPy
+            # itself reports convergence.
+            incoming_finite = np.isfinite(f_fin[i])
+            slack = 1e-3 * max(1.0, abs(f_fin[i])) if incoming_finite else 0.0
+            accept = np.isfinite(res.fun) and (
+                (incoming_finite and res.fun <= f_fin[i] + slack)
+                or (not incoming_finite and bool(res.success)))
+            if accept:
+                if verbose and (not incoming_finite
                                 or res.fun < f_fin[i] - 1e-3):
                     print(f"    f64 polish lane {i}: "
                           f"{f_fin[i]:.3f} -> {res.fun:.3f} "
@@ -280,11 +293,15 @@ def _polish_lanes_f64(nll, init_theta, opt, ys, max_iters: int = 200,
                 params_np[i] = np.asarray(res.x)
                 f_fin[i] = res.fun
                 # The reference's contract is NaN-on-DIVERGENCE
-                # (jobs/ghfs_mle.py:78-81): a finite polished optimum is a
-                # usable estimate even if SciPy stopped on maxiter or a
-                # line-search hiccup, so don't demote the lane for those.
+                # (jobs/ghfs_mle.py:78-81): a finite polished optimum from
+                # a finite f32 iterate is a usable estimate even if SciPy
+                # stopped on maxiter, so don't demote the lane for that.
                 succ_np[i] = True
                 iters_np[i] = iters_np[i] + int(res.nit)
+            elif verbose:
+                print(f"    f64 polish lane {i}: rejected "
+                      f"(fun={res.fun:.3f} vs incoming {f_fin[i]:.3f}, "
+                      f"success={res.success})", flush=True)
 
     from chirpgp_tpu.fit.mle import MLEResult
     # Return in the f32-stage dtypes (f32 on TPU, f64 under x64 tests) so
@@ -301,6 +318,7 @@ def mle_sweep_on_measurements(cfg: IFEstimationConfig,
                               init_theta: Optional[jnp.ndarray] = None,
                               polish_f64: bool = True,
                               checkpoint_path: Optional[str] = None,
+                              checkpoint_tag: str = "",
                               verbose: bool = False) -> Dict[str, np.ndarray]:
     """Host-stepped batched MLE sweep over pre-generated measurement
     batches ``(B, T)`` -- lets callers mix scenarios (e.g. all three
@@ -326,6 +344,7 @@ def mle_sweep_on_measurements(cfg: IFEstimationConfig,
                                  ftol_rel=cfg.ftol_rel,
                                  patience=cfg.stall_patience,
                                  checkpoint_path=checkpoint_path,
+                                 checkpoint_tag=checkpoint_tag,
                                  verbose=verbose)
     opt = _rescue_stuck_lanes(nll, init_theta, theta0, ys, opt,
                               max_iters=cfg.max_iters, verbose=verbose)

@@ -101,6 +101,20 @@ def lbfgs_minimize(fun: Callable, init_params, max_iters: int = 200,
     return finish(params, state)
 
 
+def _ckpt_fingerprint(tag: str, init_params, batch_args) -> str:
+    """Checkpoint identity: the caller's tag (method/T/form/...) plus the
+    shapes+dtypes of the init and every batch arg.  A checkpoint from a
+    different objective or measurement set must never be resumed just
+    because the (B, n_params) shape happens to match (round-3 advisor
+    finding: a stale foreign checkpoint silently poisoned a sweep)."""
+    import hashlib
+    import json as _json
+    spec = [str(tag),
+            [list(map(int, init_params.shape)), str(init_params.dtype)],
+            [[list(map(int, a.shape)), str(a.dtype)] for a in batch_args]]
+    return hashlib.sha256(_json.dumps(spec).encode()).hexdigest()
+
+
 def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
                            max_iters: int = 200, tol: float = 1e-6,
                            memory_size: int = 15,
@@ -108,6 +122,7 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
                            ftol_rel: float = 1e-6, patience: int = 3,
                            checkpoint_path: Optional[str] = None,
                            checkpoint_every: int = 5,
+                           checkpoint_tag: str = "",
                            verbose: bool = False) -> MLEResult:
     """Batched L-BFGS advanced ONE iteration per device dispatch.
 
@@ -178,11 +193,21 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
     step_j = jax.jit(jax.vmap(one_step, in_axes=(0, 0, 0, 0)))
     B = init_params.shape[0]
 
+    fingerprint = _ckpt_fingerprint(checkpoint_tag, init_params, batch_args)
     ckpt = None
     if checkpoint_path is not None and _os.path.exists(checkpoint_path):
         ckpt = np.load(checkpoint_path)
         if ckpt["params"].shape != tuple(init_params.shape):
             ckpt = None   # stale checkpoint from a different sweep shape
+        elif ("fingerprint" not in ckpt
+              or str(ckpt["fingerprint"]) != fingerprint):
+            # A shape-compatible checkpoint from a DIFFERENT objective /
+            # measurement set / config (or a pre-fingerprint file): never
+            # resume it -- mixing optimizer state across problems reports
+            # a foreign sweep's params as this sweep's results.
+            print(f"  lbfgs: ignoring checkpoint {checkpoint_path} "
+                  f"(fingerprint mismatch -- different sweep)", flush=True)
+            ckpt = None
 
     if ckpt is not None:
         it0 = int(ckpt["it"])
@@ -193,10 +218,11 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
         stall = np.asarray(ckpt["stall"]).copy()
         still_going = jnp.asarray(ckpt["still_going"])
         params_np = np.asarray(ckpt["params"]).copy()
-        if verbose:
-            print(f"  lbfgs resume from {checkpoint_path} at iter {it0} "
-                  f"(active={int(np.sum(np.asarray(still_going)))})",
-                  flush=True)
+        # Resumption always announced (not only under verbose): silently
+        # resuming is how foreign state sneaks into results.
+        print(f"  lbfgs resume from {checkpoint_path} at iter {it0} "
+              f"(active={int(np.sum(np.asarray(still_going)))})",
+              flush=True)
     else:
         it0 = 0
         params = init_params
@@ -230,7 +256,8 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
         np.savez(tmp[:-4], it=it_next, params=params_np, best=best,
                  best_params=best_params, best_count=best_count,
                  stall=stall,
-                 still_going=np.asarray(jax.device_get(still_going)))
+                 still_going=np.asarray(jax.device_get(still_going)),
+                 fingerprint=np.asarray(fingerprint))
         _os.replace(tmp, checkpoint_path)
 
     for it in range(it0, max_iters):

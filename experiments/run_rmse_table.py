@@ -140,9 +140,12 @@ def main():
             # process and reruns this command resumes the stepped L-BFGS
             # from the last checkpoint instead of iteration 0.
             ckpt = _os.path.join(args.out, f".ckpt_{method}.npz")
+            tag = (f"{method}|T={args.T}|form={cfg.form}"
+                   f"|mags={','.join(args.mags)}|seeds={args.seeds}"
+                   f"|data={args.data_dir or 'gen'}")
             res = mle_sweep_on_measurements(
                 cfg, jnp.concatenate(tf_parts), jnp.concatenate(ys_parts),
-                checkpoint_path=ckpt, verbose=True)
+                checkpoint_path=ckpt, checkpoint_tag=tag, verbose=True)
             n = keys.shape[0]
             by_mag = {}
             for i, mag in enumerate(args.mags):
