@@ -198,7 +198,67 @@ PLOTS = {
     "crlb": lambda outdir: plot_crlb(outdir),
     "crlb_ghf": lambda outdir: plot_crlb(outdir, method="ghf"),
     "crlb_ekf": lambda outdir: plot_crlb(outdir, method="ekf"),
+    "crlb_both": lambda outdir: plot_crlb_both(outdir),
 }
+
+
+def plot_crlb_both(outdir, results_dir="./results"):
+    """GHF and EKF filter MSE overlaid against the PCRLB per (lam, b)
+    grid point -- the reference's Fig 5 comparison shape
+    (``tetralith/run_crlbs.sh:1-8`` runs BOTH ``crlb_ekf.py`` and
+    ``crlb_ghf.py`` over the same grid)."""
+    import glob
+    import re
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    files = sorted(glob.glob(
+        os.path.join(results_dir, "crlb_ghf_lam*_b*.npz")))
+    if not files:
+        print(f"no crlb_ghf_*.npz in {results_dir}")
+        return
+    lams = sorted({float(re.search(r"lam([\d.]+)_", f).group(1))
+                   for f in files})
+    bs = sorted({float(re.search(r"_b([\d.]+)\.npz", f).group(1))
+                 for f in files})
+    fig, axes = plt.subplots(len(lams), len(bs),
+                             figsize=(3.2 * len(bs), 2.6 * len(lams)),
+                             sharex=True, squeeze=False)
+    for i, lam in enumerate(lams):
+        for j, b in enumerate(bs):
+            ax = axes[i][j]
+            any_drawn = False
+            for method, color in (("ghf", "k"), ("ekf", "C0")):
+                path = os.path.join(
+                    results_dir, f"crlb_{method}_lam{lam}_b{b}.npz")
+                if not os.path.exists(path):
+                    continue
+                d = np.load(path)
+                T = len(d["mean_err_v"])
+                ts = np.arange(1, T + 1) * (
+                    float(d["dt"]) if "dt" in d else 0.01)
+                ax.semilogy(ts, d["mean_err_v"], color,
+                            label=f"{method.upper()} MSE (V)")
+                if not any_drawn and "pcrlb_v" in d:
+                    ax.semilogy(ts, d["pcrlb_v"], "r--",
+                                label="PCRLB (V)")
+                any_drawn = True
+            if not any_drawn:
+                ax.axis("off")
+                continue
+            ax.set_title(f"$\\lambda$={lam}, b={b}", fontsize=9)
+            if i == len(lams) - 1:
+                ax.set_xlabel("t (s)")
+            if j == 0:
+                ax.set_ylabel("MSE")
+    axes[0][0].legend(fontsize=7)
+    fig.tight_layout()
+    out = os.path.join(outdir, "crlb_ghf_ekf.png")
+    fig.savefig(out, dpi=130)
+    print(f"wrote {out}")
 
 
 def plot_crlb(outdir, results_dir="./results", method="ekf"):
