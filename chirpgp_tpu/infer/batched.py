@@ -429,7 +429,8 @@ def _spd_solve_cf(Lp: jnp.ndarray, C: jnp.ndarray, d: int) -> jnp.ndarray:
 
 
 def cov_sgp_filter_smoother_batched(cond_m_cov, sgps: SigmaPoints, H, Xi,
-                                    m0, P0, dt, yss
+                                    m0, P0, dt, yss,
+                                    unroll: int = 1
                                     ) -> Tuple[jnp.ndarray, jnp.ndarray,
                                                jnp.ndarray]:
     """Fused batched sigma-point filter + smoother in covariance form --
@@ -496,7 +497,8 @@ def cov_sgp_filter_smoother_batched(cond_m_cov, sgps: SigmaPoints, H, Xi,
         return (mf, Pf, nll), (nll, u, G, D)
 
     init = (m_init, P_init, jnp.zeros((B,), dtype))
-    (mf_T, Pf_T, _), (nlls, us, Gs, Ds) = jax.lax.scan(fstep, init, yss.T)
+    (mf_T, Pf_T, _), (nlls, us, Gs, Ds) = jax.lax.scan(fstep, init, yss.T,
+                                                       unroll=unroll)
     # The maps emitted at filter iteration t smooth time t-1 given time t;
     # backward element k in [0, T-2] therefore uses iteration k+1's maps.
     us, Gs, Ds = us[1:], Gs[1:], Ds[1:]
@@ -510,7 +512,7 @@ def cov_sgp_filter_smoother_batched(cond_m_cov, sgps: SigmaPoints, H, Xi,
         return (ms, Ps), (ms, Ps)
 
     _, (mss, Pss) = jax.lax.scan(bstep, (mf_T, Pf_T), (us, Gs, Ds),
-                                 reverse=True)
+                                 reverse=True, unroll=unroll)
     mss = jnp.concatenate([mss, mf_T[None]])
     Pss = jnp.concatenate([Pss, Pf_T[None]])
     return mss, Pss, nlls
