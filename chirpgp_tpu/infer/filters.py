@@ -27,14 +27,19 @@ FilterResult = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
 
 
 def _run_filter(predict, m0, P0, H, Xi, ys,
-                remat: bool = False) -> FilterResult:
+                remat: bool = False, unroll: int = 1) -> FilterResult:
     """Common scan skeleton: predict -> 1-D linear update -> accumulate NLL.
 
     ``remat=True`` checkpoints each scan step for reverse-mode AD:
     only the (d + d^2)-word carry is saved per step and the prediction
     internals (e.g. the four RK4 stages x S sigma-point propagations of
     the CD filters) are recomputed on the backward pass -- required to
-    fit batched gradients through T~3k scans in HBM."""
+    fit batched gradients through T~3k scans in HBM.
+
+    ``unroll`` forwards to ``lax.scan``: the per-step bodies are tiny
+    (d<=12 algebra), so executing several steps per loop iteration
+    amortizes the scan's per-iteration overhead at zero numerical cost
+    (same ops in the same order -- bit-identical output)."""
 
     def step(carry, y):
         mf, Pf, n_ell = carry
@@ -47,7 +52,7 @@ def _run_filter(predict, m0, P0, H, Xi, ys,
     if remat:
         step = jax.checkpoint(step)
     init = (m0, P0, jnp.zeros((), dtype=m0.dtype))
-    _, (mfs, Pfs, n_ell) = jax.lax.scan(step, init, ys)
+    _, (mfs, Pfs, n_ell) = jax.lax.scan(step, init, ys, unroll=unroll)
     return mfs, Pfs, n_ell
 
 
@@ -115,7 +120,7 @@ def sgp_filter(cond_m_cov, sgps: SigmaPoints, H: jnp.ndarray, Xi,
 
 def cd_ekf(a: Callable, b: Callable, H: jnp.ndarray, Xi,
            m0: jnp.ndarray, P0: jnp.ndarray, dt, ys: jnp.ndarray,
-           remat: bool = False) -> FilterResult:
+           remat: bool = False, unroll: int = 1) -> FilterResult:
     """Continuous-discrete EKF: RK4 on the linearized moment ODEs
     ``m' = a(m)``, ``P' = P J^T + J P + BB^T`` (reference
     ``filters_smoothers.py:352-397``)."""
@@ -126,12 +131,13 @@ def cd_ekf(a: Callable, b: Callable, H: jnp.ndarray, Xi,
         return a(m), P @ J.T + J @ P + b(m) @ b(m).T
 
     return _run_filter(lambda m, P: rk4_m_cov(odes, m, P, dt),
-                       m0, P0, H, Xi, ys, remat=remat)
+                       m0, P0, H, Xi, ys, remat=remat, unroll=unroll)
 
 
 def cd_sgp_filter(a: Callable, b: jnp.ndarray, sgps: SigmaPoints,
                   H: jnp.ndarray, Xi, m0: jnp.ndarray, P0: jnp.ndarray,
-                  dt, ys: jnp.ndarray, remat: bool = False) -> FilterResult:
+                  dt, ys: jnp.ndarray, remat: bool = False,
+                  unroll: int = 1) -> FilterResult:
     """Continuous-discrete sigma-point filter: RK4 on the sigma-point moment
     ODEs with constant dispersion matrix ``b`` (reference
     ``filters_smoothers.py:534-582``)."""
@@ -141,4 +147,4 @@ def cd_sgp_filter(a: Callable, b: jnp.ndarray, sgps: SigmaPoints,
         return cd_sgp_moment_odes(sgps, vec_drift, b, m, P)
 
     return _run_filter(lambda m, P: rk4_m_cov(odes, m, P, dt),
-                       m0, P0, H, Xi, ys, remat=remat)
+                       m0, P0, H, Xi, ys, remat=remat, unroll=unroll)

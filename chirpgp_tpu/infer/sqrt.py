@@ -171,7 +171,8 @@ def sqrt_sgp_filter(cond_m_cov, sgps: SigmaPoints, H: jnp.ndarray, Xi,
                     m0: jnp.ndarray, P0: jnp.ndarray, dt,
                     ys: jnp.ndarray,
                     tria_method: str = "hh",
-                    remat: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                    remat: bool = True,
+                    unroll: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Square-root sigma-point filter; float32-safe drop-in for
     :func:`chirpgp_tpu.infer.filters.sgp_filter` returning Cholesky
     factors ``Lfs`` instead of covariances.
@@ -200,7 +201,7 @@ def sqrt_sgp_filter(cond_m_cov, sgps: SigmaPoints, H: jnp.ndarray, Xi,
     if remat:
         step = jax.checkpoint(step)
     init = (m0, L0, jnp.zeros((), m0.dtype))
-    _, (mfs, Lfs, n_ell) = jax.lax.scan(step, init, ys)
+    _, (mfs, Lfs, n_ell) = jax.lax.scan(step, init, ys, unroll=unroll)
     return mfs, Lfs, n_ell
 
 
@@ -269,7 +270,7 @@ def sqrt_kf(F: jnp.ndarray, Sigma: jnp.ndarray, H: jnp.ndarray, Xi,
 
 
 def sqrt_ekf(cond_m_cov, H: jnp.ndarray, Xi, m0: jnp.ndarray,
-             P0: jnp.ndarray, dt, ys: jnp.ndarray):
+             P0: jnp.ndarray, dt, ys: jnp.ndarray, unroll: int = 1):
     """Square-root EKF: linearize the discretized mean map, triangularize
     ``[Lf^T F^T; Lq^T]``."""
     trans = as_transition(cond_m_cov)
@@ -289,7 +290,7 @@ def sqrt_ekf(cond_m_cov, H: jnp.ndarray, Xi, m0: jnp.ndarray,
         return out, out
 
     init = (m0, L0, jnp.zeros((), m0.dtype))
-    _, (mfs, Lfs, n_ell) = jax.lax.scan(step, init, ys)
+    _, (mfs, Lfs, n_ell) = jax.lax.scan(step, init, ys, unroll=unroll)
     return mfs, Lfs, n_ell
 
 

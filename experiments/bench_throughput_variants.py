@@ -114,7 +114,7 @@ def main():
             def run(yss_):
                 mss, Pss, nll = cov_sgp_filter_smoother_batched(
                     pack.m_and_cov, rule, H32, Xi32, m032, P032, dt32,
-                    yss_)
+                    yss_, unroll=unroll)
                 v_mean = mss[:, 2, :]
                 v_std = jnp.sqrt(jnp.maximum(Pss[:, 2, 2, :], 0.0))
                 if_means = gaussian_expectation_batched(v_mean, v_std, g_fn)
