@@ -197,3 +197,24 @@ def test_cov_smoother_finite_on_lascala():
     mss, Pss = sgp_smoother(pack.m_and_cov, sgps, mfs, Pfs, 1e-3)
     assert bool(jnp.all(jnp.isfinite(mss)))
     assert bool(jnp.isfinite(nll[-1]))
+
+
+def test_scan_unroll_is_bit_identical():
+    """``unroll`` must be a pure perf knob: same ops in the same order,
+    so filter outputs (and hence sweep results / parity artifacts) are
+    bit-identical at any unroll value."""
+    params = g(g_inv(jnp.array([0.1, 0.1, 0.1, 1.0, 1.0, 7.0])))
+    pack = build_chirp_model(params)
+    sgps = gauss_hermite(4, order=3)
+    key = jax.random.PRNGKey(7)
+    ys = jax.random.normal(key, (97,))   # deliberately not a multiple of 4
+    for fn in (
+        lambda u: sqrt_sgp_filter(pack.m_and_cov, sgps, pack.H, XI,
+                                  pack.m0, pack.P0, DT, ys, unroll=u),
+        lambda u: sqrt_ekf(pack.m_and_cov, pack.H, XI, pack.m0, pack.P0,
+                           DT, ys, unroll=u),
+    ):
+        ref = jax.jit(lambda: fn(1))()
+        out = jax.jit(lambda: fn(4))()
+        for a, b in zip(ref, out):
+            npt.assert_array_equal(jax.device_get(a), jax.device_get(b))
