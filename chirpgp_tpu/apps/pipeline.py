@@ -74,9 +74,12 @@ class IFEstimationConfig:
     # lax.scan unroll for the filter recursions: the per-step bodies are
     # tiny (d<=12 algebra), so executing several steps per loop iteration
     # amortizes scan overhead at zero numerical cost (bit-identical
-    # output; measured 1.2-1.6x on the TPU bench kernels).  Raises
-    # compile time slightly.
-    scan_unroll: int = 4
+    # output; measured 1.2-1.6x on the TPU bench kernels).  Default 1:
+    # unrolling multiplies reverse-mode residual memory per loop
+    # iteration, and a B=300 x T=3141 batched gradient sweep at
+    # unroll=4 OOMs the 16G v5e HBM (25.7G requested, measured r4).
+    # Safe to raise for single-record estimation or forward-only runs.
+    scan_unroll: int = 1
 
     # ---- derived helpers ----
 
