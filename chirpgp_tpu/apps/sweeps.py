@@ -259,7 +259,14 @@ def _polish_lanes_f64(nll, init_theta, opt, ys, max_iters: int = 200,
     cpu = jax.devices("cpu")[0]
     with jax.enable_x64(), jax.default_device(cpu):
         vg = jax.jit(jax.value_and_grad(nll))   # f64 CPU, compiled once
-        for i in range(B):
+        # Prime the compile on the main thread so workers only execute.
+        _ = vg(jnp.asarray(init64), jnp.asarray(ys64[0]))
+
+    def polish_lane(i):
+        # jax.enable_x64 / default_device contexts are THREAD-LOCAL:
+        # each worker needs its own, else jnp.asarray silently builds
+        # f32 arrays and the polish runs at the wrong precision.
+        with jax.enable_x64(), jax.default_device(cpu):
             x0 = params_np[i]
             if not np.all(np.isfinite(x0)):
                 x0 = init64
@@ -269,8 +276,17 @@ def _polish_lanes_f64(nll, init_theta, opt, ys, max_iters: int = 200,
                 v, gr = vg(jnp.asarray(x), ys_i)
                 return float(v), np.asarray(gr, dtype=np.float64)
 
-            res = minimize(f_np, x0, method="L-BFGS-B", jac=True,
-                           options={"maxiter": max_iters})
+            return i, minimize(f_np, x0, method="L-BFGS-B", jac=True,
+                               options={"maxiter": max_iters})
+
+    # The per-lane SciPy runs are independent and their cost is dominated
+    # by the jitted f64 evals (GIL-released native compute), so a small
+    # thread pool gives near-linear speedup on the available cores.  All
+    # result mutation happens on the main thread, in lane order.
+    import concurrent.futures as _cf
+    workers = max(2, min(4, os.cpu_count() or 2))
+    with _cf.ThreadPoolExecutor(max_workers=workers) as ex:
+        for i, res in ex.map(polish_lane, range(B)):
             # Acceptance guard (round-3 advisor): polish from a FINITE f32
             # iterate is monotone in f64 terms, so a polished value above
             # the incoming one (beyond f32<->f64 evaluation slack, ~1e-4
