@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from chirpgp_tpu.infer.common import log_normal_pdf
 from chirpgp_tpu.infer.parallel_kf import (
-    _FilterElement, _combine_filter, _SmootherElement, _combine_smoother)
+    _FilterElement, _combine_filter, _SmootherElement, _combine_smoother,
+    blocked_scan, filter_identity, smoother_identity)
 from chirpgp_tpu.models.transitions import Transition, as_transition
 from chirpgp_tpu.quad.sigma_points import SigmaPoints
 
@@ -31,11 +32,13 @@ __all__ = ["kf_parallel_tv", "rts_parallel_tv", "slr_transitions",
            "psgp_filter_smoother"]
 
 
-def kf_parallel_tv(Fs, cs, Sigmas, H, Xi, m0, P0, ys):
+def kf_parallel_tv(Fs, cs, Sigmas, H, Xi, m0, P0, ys, block_size=None):
     """Parallel-in-time Kalman filter for a time-varying affine SSM
     ``x_k = F_k x_{k-1} + c_k + q_k``; same contract as ``kf_parallel``.
 
     Shapes: Fs (T, d, d), cs (T, d), Sigmas (T, d, d), ys (T,).
+    ``block_size`` selects the blocked scan (single-chip fast path, see
+    ``parallel_kf.blocked_scan``).
     """
     T, d = cs.shape
     dtype = m0.dtype
@@ -66,7 +69,11 @@ def kf_parallel_tv(Fs, cs, Sigmas, H, Xi, m0, P0, ys):
         C=C.at[0].set(C1),
         eta=eta.at[0].set(jnp.zeros((d,), dtype)),
         J=J.at[0].set(jnp.zeros((d, d), dtype)))
-    scanned = jax.lax.associative_scan(_combine_filter, elems)
+    if block_size is not None:
+        scanned = blocked_scan(_combine_filter, elems,
+                               filter_identity(d, dtype), block_size)
+    else:
+        scanned = jax.lax.associative_scan(_combine_filter, elems)
     mfs, Pfs = scanned.b, scanned.C
 
     prev_m = jnp.concatenate([m0[None], mfs[:-1]], axis=0)
@@ -78,7 +85,8 @@ def kf_parallel_tv(Fs, cs, Sigmas, H, Xi, m0, P0, ys):
     return mfs, Pfs, jnp.cumsum(nll)
 
 
-def rts_parallel_tv(Fs, cs, Sigmas, mfs, Pfs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def rts_parallel_tv(Fs, cs, Sigmas, mfs, Pfs,
+                    block_size=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Parallel-in-time RTS smoother for the time-varying affine SSM.
     ``Fs[k]``/``cs[k]``/``Sigmas[k]`` map step k-1 -> k (same indexing as
     the filter)."""
@@ -94,8 +102,13 @@ def rts_parallel_tv(Fs, cs, Sigmas, mfs, Pfs) -> Tuple[jnp.ndarray, jnp.ndarray]
     L = Pf - E @ Pp @ jnp.swapaxes(E, -1, -2)
 
     elems = _SmootherElement(E, g, L)
-    scanned = jax.lax.associative_scan(_combine_smoother, elems,
-                                       reverse=True)
+    if block_size is not None:
+        scanned = blocked_scan(_combine_smoother, elems,
+                               smoother_identity(mfs.shape[-1], mfs.dtype),
+                               block_size, reverse=True)
+    else:
+        scanned = jax.lax.associative_scan(_combine_smoother, elems,
+                                           reverse=True)
     mss = jnp.einsum("tij,j->ti", scanned.E, mfs[-1]) + scanned.g
     Pss = scanned.E @ Pfs[-1] @ jnp.swapaxes(scanned.E, -1, -2) + scanned.L
     return jnp.concatenate([mss, mfs[-1][None]]), \
@@ -140,7 +153,7 @@ def slr_transitions(trans, sgps: SigmaPoints, dt, ms, Ps, jitter=0.0):
 
 
 def psgp_filter_smoother(cond_m_cov, sgps: SigmaPoints, H, Xi, m0, P0, dt,
-                         ys, num_iters: int = 8):
+                         ys, num_iters: int = 8, block_size=None):
     """Iterated parallel sigma-point filter + smoother.
 
     Each iteration: (1) SLR of the transition about the current posterior
@@ -164,8 +177,9 @@ def psgp_filter_smoother(cond_m_cov, sgps: SigmaPoints, H, Xi, m0, P0, dt,
     def one_iter(carry, _):
         ms_nom, Ps_nom = carry
         Fs, cs, Lams = slr_transitions(trans, sgps, dt, ms_nom, Ps_nom)
-        mfs, Pfs, nll = kf_parallel_tv(Fs, cs, Lams, H, Xi, m0, P0, ys)
-        mss, Pss = rts_parallel_tv(Fs, cs, Lams, mfs, Pfs)
+        mfs, Pfs, nll = kf_parallel_tv(Fs, cs, Lams, H, Xi, m0, P0, ys,
+                                       block_size)
+        mss, Pss = rts_parallel_tv(Fs, cs, Lams, mfs, Pfs, block_size)
         # Next nominal for transition k is the smoothed posterior at k-1.
         ms_next = jnp.concatenate([m0[None], mss[:-1]], axis=0)
         Ps_next = jnp.concatenate([P0[None], Pss[:-1]], axis=0)

@@ -23,7 +23,7 @@ from jax.sharding import PartitionSpec as P
 
 from chirpgp_tpu.infer.parallel_kf import (
     _FilterElement, _combine_filter, _SmootherElement, _combine_smoother,
-    _filter_elements)
+    _filter_elements, blocked_scan, filter_identity, smoother_identity)
 from chirpgp_tpu.infer.common import log_normal_pdf
 
 __all__ = ["kf_parallel_time_sharded", "rts_parallel_time_sharded"]
@@ -42,7 +42,8 @@ def _combine_batched(combine, a, b):
     return jax.tree_util.tree_map(lambda x: x[0], out)
 
 
-def _sharded_assoc_scan(combine, elems, axis: str, reverse: bool = False):
+def _sharded_assoc_scan(combine, elems, axis: str, reverse: bool = False,
+                        identity=None, block_size=None):
     """Associative scan over the leading (time) axis of ``elems``, where
     that axis is sharded over mesh axis ``axis``.  Call INSIDE shard_map:
     ``elems`` here is the local chunk.
@@ -51,8 +52,17 @@ def _sharded_assoc_scan(combine, elems, axis: str, reverse: bool = False):
     (first element for reverse scans); exclusive prefix over shard totals
     (computed redundantly on every device -- n_shards elements); combine
     into the local chunk.
+
+    ``block_size`` (with ``identity``) switches the LOCAL scan to the
+    blocked form (``parallel_kf.blocked_scan``) -- the same
+    local-scan + prefix-exchange decomposition applied one level down,
+    with blocks inside the shard in place of shards inside the mesh.
     """
-    local = jax.lax.associative_scan(combine, elems, reverse=reverse)
+    if block_size is not None:
+        local = blocked_scan(combine, elems, identity, block_size,
+                             reverse=reverse)
+    else:
+        local = jax.lax.associative_scan(combine, elems, reverse=reverse)
     total_idx = 0 if reverse else -1
     my_total = _tree_take(local, total_idx)
     # (n_shards, ...) on every device.
@@ -104,16 +114,20 @@ def _sharded_assoc_scan(combine, elems, axis: str, reverse: bool = False):
 
 
 def kf_parallel_time_sharded(F, Sigma, H, Xi, m0, P0, ys, mesh,
-                             axis: str = "time") -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                             axis: str = "time",
+                             block_size=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Parallel-in-time KF with the TIME axis sharded over ``mesh``.
 
     ``ys`` (T,) with T divisible by the mesh size.  Same contract as
     :func:`chirpgp_tpu.infer.parallel_kf.kf_parallel`; results match the
-    unsharded scan.
+    unsharded scan.  ``block_size`` selects the blocked form for each
+    shard's local scan (the single-chip fast path, measured in
+    ``bench.py``).
     """
     if axis not in mesh.axis_names:
         axis = mesh.axis_names[0]
     elems = _filter_elements(F, Sigma, H, Xi, m0, P0, ys)
+    ident = filter_identity(m0.shape[0], m0.dtype)
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(_FilterElement(P(axis), P(axis), P(axis), P(axis),
@@ -122,7 +136,8 @@ def kf_parallel_time_sharded(F, Sigma, H, Xi, m0, P0, ys, mesh,
                                       P(axis)),
              check_vma=False)
     def scan_shards(local_elems):
-        return _sharded_assoc_scan(_combine_filter, local_elems, axis)
+        return _sharded_assoc_scan(_combine_filter, local_elems, axis,
+                                   identity=ident, block_size=block_size)
 
     scanned = jax.jit(scan_shards)(elems)
     mfs, Pfs = scanned.b, scanned.C
@@ -137,7 +152,8 @@ def kf_parallel_time_sharded(F, Sigma, H, Xi, m0, P0, ys, mesh,
 
 
 def rts_parallel_time_sharded(F, Sigma, mfs, Pfs, mesh,
-                              axis: str = "time") -> Tuple[jnp.ndarray, jnp.ndarray]:
+                              axis: str = "time",
+                              block_size=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Time-sharded parallel RTS smoother; matches
     :func:`chirpgp_tpu.infer.parallel_kf.rts_parallel`.
 
@@ -168,7 +184,9 @@ def rts_parallel_time_sharded(F, Sigma, mfs, Pfs, mesh,
              check_vma=False)
     def scan_shards(local_elems):
         return _sharded_assoc_scan(_combine_smoother, local_elems, axis,
-                                   reverse=True)
+                                   reverse=True,
+                                   identity=smoother_identity(d, mfs.dtype),
+                                   block_size=block_size)
 
     scanned = jax.jit(scan_shards)(elems)
     E_s, g_s, L_s = scanned.E[:-1], scanned.g[:-1], scanned.L[:-1]

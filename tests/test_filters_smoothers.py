@@ -134,6 +134,49 @@ def test_parallel_rts_matches_sequential(lgssm):
     npt.assert_allclose(Pss, lgssm["Pss"], rtol=1e-8, atol=1e-11)
 
 
+@pytest.mark.parametrize("block_size", [16, 37, 64, 1000])
+def test_blocked_parallel_kf_rts_matches_sequential(lgssm, block_size):
+    """Blocked scan == sequential oracle for divisible (16, 64),
+    non-divisible (37: nb=6, 22 padded identities) and single-block
+    (1000 > T) layouts."""
+    mfs, Pfs, nell = kf_parallel(lgssm["F"], lgssm["Sigma"], lgssm["H"], XI,
+                                 lgssm["m0"], lgssm["P0"], lgssm["ys"],
+                                 block_size=block_size)
+    npt.assert_allclose(mfs, lgssm["mfs"], rtol=1e-8, atol=1e-11)
+    npt.assert_allclose(Pfs, lgssm["Pfs"], rtol=1e-8, atol=1e-11)
+    npt.assert_allclose(nell, lgssm["nell"], rtol=1e-8)
+    mss, Pss = rts_parallel(lgssm["F"], lgssm["Sigma"],
+                            lgssm["mfs"], lgssm["Pfs"],
+                            block_size=block_size)
+    npt.assert_allclose(mss, lgssm["mss"], rtol=1e-8, atol=1e-11)
+    npt.assert_allclose(Pss, lgssm["Pss"], rtol=1e-8, atol=1e-11)
+
+
+def test_combine_identities(lgssm):
+    """The padding/offset elements are two-sided identities of their
+    combines (the correctness precondition of the blocked scan)."""
+    from chirpgp_tpu.infer.parallel_kf import (
+        _combine_filter, _combine_smoother, _filter_elements,
+        filter_identity, smoother_identity)
+    e = _filter_elements(lgssm["F"], lgssm["Sigma"], lgssm["H"], XI,
+                         lgssm["m0"], lgssm["P0"], lgssm["ys"][:5])
+    ident = jax.tree.map(lambda i: jnp.broadcast_to(i, (5,) + i.shape),
+                         filter_identity(2, lgssm["m0"].dtype))
+    for left, right in ((ident, e), (e, ident)):
+        out = _combine_filter(left, right)
+        for got, want in zip(out, e):
+            npt.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
+    se = jax.tree.map(
+        lambda i: jnp.broadcast_to(i + 0.3, (5,) + i.shape),
+        smoother_identity(2, lgssm["m0"].dtype))
+    si = jax.tree.map(lambda i: jnp.broadcast_to(i, (5,) + i.shape),
+                      smoother_identity(2, lgssm["m0"].dtype))
+    for left, right in ((si, se), (se, si)):
+        out = _combine_smoother(left, right)
+        for got, want in zip(out, se):
+            npt.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
+
+
 def test_filters_vmap_over_seeds(lgssm):
     """Filters vmap cleanly over a leading Monte-Carlo axis and agree with
     per-seed evaluation."""

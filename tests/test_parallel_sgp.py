@@ -52,6 +52,31 @@ def test_tv_parallel_equals_kf_rts_on_lti():
     npt.assert_allclose(Pss2, Pss, rtol=1e-7, atol=1e-10)
 
 
+def test_tv_blocked_equals_flat():
+    """Blocked scan == flat associative scan on the time-varying path
+    (non-divisible T=150 with block_size=32: nb=5, 10 padded
+    identities)."""
+    F, Sigma, H, m0, P0, ys = _lgssm()
+    Fs = jnp.broadcast_to(F, (T, 2, 2))
+    cs = jnp.zeros((T, 2))
+    Sig = jnp.broadcast_to(Sigma, (T, 2, 2))
+    flat = kf_parallel_tv(Fs, cs, Sig, H, XI, m0, P0, ys)
+    blk = kf_parallel_tv(Fs, cs, Sig, H, XI, m0, P0, ys, block_size=32)
+    for a, b in zip(flat, blk):
+        npt.assert_allclose(a, b, rtol=1e-9, atol=1e-12)
+    flat_s = rts_parallel_tv(Fs, cs, Sig, flat[0], flat[1])
+    blk_s = rts_parallel_tv(Fs, cs, Sig, flat[0], flat[1], block_size=32)
+    for a, b in zip(flat_s, blk_s):
+        npt.assert_allclose(a, b, rtol=1e-9, atol=1e-12)
+    out_f = psgp_filter_smoother(disc_m32(ELL, SIGMA), gauss_hermite(2, 3),
+                                 H, XI, m0, P0, DT, ys, num_iters=2)
+    out_b = psgp_filter_smoother(disc_m32(ELL, SIGMA), gauss_hermite(2, 3),
+                                 H, XI, m0, P0, DT, ys, num_iters=2,
+                                 block_size=32)
+    for a, b in zip(out_f, out_b):
+        npt.assert_allclose(a, b, rtol=1e-8, atol=1e-11)
+
+
 def test_slr_exact_on_linear():
     """SLR of a linear transition recovers (F, 0, Sigma) for any
     nominal."""

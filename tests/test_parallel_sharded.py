@@ -52,6 +52,25 @@ def test_time_sharded_smoother_matches():
     npt.assert_allclose(jax.device_get(Pss_s), Pss, rtol=1e-7, atol=1e-9)
 
 
+def test_time_sharded_blocked_local_scan_matches():
+    """Sharded scan with blocked per-shard local scans == sequential
+    oracle (T=240 over 8 shards -> 30 local elements, block_size=8
+    leaves a non-divisible 6-element tail block per shard)."""
+    F, Sigma, H, m0, P0, ys = _data()
+    mesh = make_mesh(axis_name="time")
+    mfs_s, Pfs_s, nll_s = kf_parallel_time_sharded(
+        F, Sigma, H, XI, m0, P0, ys, mesh, block_size=8)
+    mfs, Pfs, nll = kf(F, Sigma, H, XI, m0, P0, ys)
+    npt.assert_allclose(jax.device_get(mfs_s), mfs, rtol=1e-8, atol=1e-10)
+    npt.assert_allclose(jax.device_get(Pfs_s), Pfs, rtol=1e-8, atol=1e-10)
+    npt.assert_allclose(jax.device_get(nll_s), nll, rtol=1e-8)
+    mss, Pss = rts(F, Sigma, mfs, Pfs)
+    mss_s, Pss_s = rts_parallel_time_sharded(F, Sigma, mfs, Pfs, mesh,
+                                             block_size=8)
+    npt.assert_allclose(jax.device_get(mss_s), mss, rtol=1e-7, atol=1e-9)
+    npt.assert_allclose(jax.device_get(Pss_s), Pss, rtol=1e-7, atol=1e-9)
+
+
 @pytest.mark.slow
 def test_time_sharded_matches_unsharded_parallel():
     """Sharded and unsharded associative scans agree bit-tightly."""
