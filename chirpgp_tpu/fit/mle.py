@@ -123,6 +123,8 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
                            checkpoint_path: Optional[str] = None,
                            checkpoint_every: int = 5,
                            checkpoint_tag: str = "",
+                           tail_frac: float = 0.01,
+                           tail_iters: int = 30,
                            verbose: bool = False) -> MLEResult:
     """Batched L-BFGS advanced ONE iteration per device dispatch.
 
@@ -148,6 +150,17 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
     optimizer math as :func:`lbfgs_minimize`, sliced differently in time.
     Results per seed are identical to a vmapped monolithic run up to the
     freezing of converged seeds.
+
+    ``tail_frac``/``tail_iters`` bound the lockstep tail: once the
+    active-lane count drops to ``max(1, tail_frac * B)`` lanes, at most
+    ``tail_iters`` further iterations run before the stragglers are
+    frozen at their best iterate.  Under lockstep vmap every iteration
+    dispatches the FULL batch, so a single non-stalling lane otherwise
+    burns ``max_iters`` full-batch dispatches for one seed (measured
+    r4: ~150 x ~30 s on a cd_ekfs column for 1/300 lanes).  Frozen
+    stragglers keep their best-so-far iterate and remain subject to the
+    sweeps' divergence rescue and f64 polish, which is where hard lanes
+    are actually salvaged.  ``tail_iters=None`` disables the cap.
 
     ``checkpoint_path`` enables crash/wedge recovery for long sweeps on
     flaky backends (the tunneled TPU worker can wedge a dispatch
@@ -260,6 +273,8 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
                  fingerprint=np.asarray(fingerprint))
         _os.replace(tmp, checkpoint_path)
 
+    tail_thresh = max(1, int(np.ceil(tail_frac * B)))
+    tail_left = None
     for it in range(it0, max_iters):
         params, state, active = step_j(params, state, batch_args,
                                        still_going)
@@ -285,6 +300,14 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
                   flush=True)
         if n_active == 0:
             break
+        if tail_iters is not None and 0 < n_active <= tail_thresh:
+            tail_left = tail_iters if tail_left is None else tail_left - 1
+            if tail_left <= 0:
+                if verbose:
+                    print(f"  lbfgs tail cap: freezing {n_active} "
+                          f"straggler lane(s) at best iterate after "
+                          f"{tail_iters} tail iterations", flush=True)
+                break
 
     value = jnp.asarray(best.astype(params_np.dtype))
     params = jnp.asarray(best_params)

@@ -94,6 +94,27 @@ def test_ckpt_prefingerprint_file_ignored(tmp_path, quad_problem, capsys):
     assert "fingerprint mismatch" in out
 
 
+def test_tail_cap_freezes_stragglers(capsys):
+    """One never-stalling lane must not burn max_iters full-batch
+    dispatches: the tail cap freezes it at its best iterate (r4: a
+    1/300 straggler cost ~150 extra batched iterations on a Table-I
+    column)."""
+    def fun(p, kind):
+        quad = jnp.sum((p - 1.0) ** 2)
+        slide = -0.01 * p[0]          # unbounded: improves every iter
+        return jnp.where(kind > 0.5, quad, slide)
+
+    kinds = jnp.array([1.0, 1.0, 1.0, 0.0])
+    init = jnp.zeros((4, 2))
+    res = lbfgs_minimize_stepped(fun, init, (kinds,), max_iters=500,
+                                 tail_frac=0.25, tail_iters=5,
+                                 verbose=True)
+    out = capsys.readouterr().out
+    assert "tail cap" in out
+    # Converged lanes unaffected by the cap.
+    assert np.allclose(np.asarray(res.params[:3]), 1.0, atol=1e-4)
+
+
 def test_paired_printer_stats(tmp_path):
     """--paired restricts to both-finite seeds and reports med ratio
     and per-side NaN counts."""
