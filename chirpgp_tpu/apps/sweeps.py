@@ -361,6 +361,7 @@ def mle_sweep_on_measurements(cfg: IFEstimationConfig,
                                  patience=cfg.stall_patience,
                                  checkpoint_path=checkpoint_path,
                                  checkpoint_tag=checkpoint_tag,
+                                 tail_iters=30,
                                  verbose=verbose)
     opt = _rescue_stuck_lanes(nll, init_theta, theta0, ys, opt,
                               max_iters=cfg.max_iters, verbose=verbose)
@@ -423,7 +424,8 @@ def mc_kpt_sweep(keys: jnp.ndarray, mag_name: str, Xi: float = 0.1,
                                   (yss.shape[0],) + init_theta.shape)
         opt = lbfgs_minimize_stepped(nll, theta0, batch_args=(yss,),
                                      max_iters=max_iters, ftol_rel=1e-9,
-                                     patience=10, verbose=verbose)
+                                     patience=10, tail_iters=30,
+                                     verbose=verbose)
         opt = _rescue_stuck_lanes(nll, init_theta, theta0, yss, opt,
                                   max_iters=max_iters, verbose=verbose)
         # Same f64-CPU polish as the SSM sweeps: a handful of harmonic-KPT

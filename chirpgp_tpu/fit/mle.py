@@ -124,7 +124,7 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
                            checkpoint_every: int = 5,
                            checkpoint_tag: str = "",
                            tail_frac: float = 0.01,
-                           tail_iters: int = 30,
+                           tail_iters: Optional[int] = None,
                            verbose: bool = False) -> MLEResult:
     """Batched L-BFGS advanced ONE iteration per device dispatch.
 
@@ -149,18 +149,24 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
     the robust SciPy path while keeping every seed on-device -- the same
     optimizer math as :func:`lbfgs_minimize`, sliced differently in time.
     Results per seed are identical to a vmapped monolithic run up to the
-    freezing of converged seeds.
+    freezing of converged seeds and -- when the tail cap is enabled -- of
+    tail-capped stragglers, which are frozen while NOT converged and
+    return their best-so-far iterate.
 
     ``tail_frac``/``tail_iters`` bound the lockstep tail: once the
-    active-lane count drops to ``max(1, tail_frac * B)`` lanes, at most
-    ``tail_iters`` further iterations run before the stragglers are
-    frozen at their best iterate.  Under lockstep vmap every iteration
-    dispatches the FULL batch, so a single non-stalling lane otherwise
-    burns ``max_iters`` full-batch dispatches for one seed (measured
-    r4: ~150 x ~30 s on a cd_ekfs column for 1/300 lanes).  Frozen
-    stragglers keep their best-so-far iterate and remain subject to the
-    sweeps' divergence rescue and f64 polish, which is where hard lanes
-    are actually salvaged.  ``tail_iters=None`` disables the cap.
+    active-lane count drops to ``max(1, tail_frac * B)`` lanes AND at
+    least one lane has already been frozen (``n_active < B`` -- so a
+    tiny batch that *starts* at the threshold is never capped from
+    iteration one), at most ``tail_iters`` further iterations run
+    before the stragglers are frozen at their best iterate.  Under
+    lockstep vmap every iteration dispatches the FULL batch, so a
+    single non-stalling lane otherwise burns ``max_iters`` full-batch
+    dispatches for one seed (measured r4: ~150 x ~30 s on a cd_ekfs
+    column for 1/300 lanes).  Frozen stragglers keep their best-so-far
+    iterate and remain subject to the sweeps' divergence rescue and f64
+    polish, which is where hard lanes are actually salvaged.
+    ``tail_iters=None`` (the default) disables the cap; the Table-I
+    sweep drivers opt in with ``tail_iters=30``.
 
     ``checkpoint_path`` enables crash/wedge recovery for long sweeps on
     flaky backends (the tunneled TPU worker can wedge a dispatch
@@ -300,7 +306,8 @@ def lbfgs_minimize_stepped(fun: Callable, init_params, batch_args=(),
                   flush=True)
         if n_active == 0:
             break
-        if tail_iters is not None and 0 < n_active <= tail_thresh:
+        if (tail_iters is not None and 0 < n_active <= tail_thresh
+                and n_active < B):
             tail_left = tail_iters if tail_left is None else tail_left - 1
             if tail_left <= 0:
                 if verbose:

@@ -210,7 +210,8 @@ def _backsub_cf(R11: jnp.ndarray, R12: jnp.ndarray, d: int) -> jnp.ndarray:
 def sqrt_sgp_filter_smoother_batched(cond_m_cov, sgps: SigmaPoints, H, Xi,
                                      m0, P0, dt, yss,
                                      return_factors: bool = True,
-                                     unroll: int = 1
+                                     unroll: int = 1,
+                                     out_index: int = None
                                      ) -> Tuple[jnp.ndarray, jnp.ndarray,
                                                 jnp.ndarray]:
     """Fused batched sqrt sigma-point filter + smoother.
@@ -247,8 +248,25 @@ def sqrt_sgp_filter_smoother_batched(cond_m_cov, sgps: SigmaPoints, H, Xi,
     unrolling several steps per loop iteration amortizes the scan's
     per-iteration control/dispatch overhead on TPU.  Bit-identical
     results for any value.
+
+    ``out_index`` (requires ``return_factors=False``) switches to SLIM
+    output: the backward scan emits only the smoothed mean and variance
+    of state component ``out_index`` -- ``(v_mean (T, B), v_var (T, B),
+    nll (T, B))`` -- instead of full ``(T, d, B)`` means and
+    ``(T, d, d, B)`` covariances.  The IF pipeline consumes exactly
+    ``mss[:, v, :]`` and ``Pss[:, v, v, :]`` (``g(V)`` posterior via
+    Gauss-Hermite), so for d=4 this cuts the backward pass's HBM writes
+    (d + d^2 = 20 rows/step) 10x to 2 rows/step and frees the
+    ``(T, d, d, B)`` output allocation that capped the Monte-Carlo
+    batch (3.3 GB at B=16384, the round-3 knee OOM).  The backward
+    carry -- and hence every number computed -- is identical to the
+    full-output path: the emitted slices are bit-equal to
+    ``mss[:, out_index]`` / ``Pss[:, out_index, out_index]``.
     """
     _require_nonneg_weights(sgps, "sqrt_sgp_filter_smoother_batched")
+    if out_index is not None and return_factors:
+        raise ValueError("out_index (slim output) requires "
+                         "return_factors=False")
     trans = as_transition(cond_m_cov)
     h_idx = _one_hot_index(H)
     B, T = yss.shape
@@ -369,12 +387,18 @@ def sqrt_sgp_filter_smoother_batched(cond_m_cov, sgps: SigmaPoints, H, Xi,
         ms = u + jnp.einsum("ijb,jb->ib", G, ms)
         Ps = D + jnp.einsum(
             "ikb,kjb->ijb", G, jnp.einsum("ikb,jkb->ijb", Ps, G))
+        if out_index is not None:
+            return (ms, Ps), (ms[out_index], Ps[out_index, out_index])
         return (ms, Ps), (ms, Ps)
 
     Pf_T = jnp.einsum("ikb,jkb->ijb", Lf_T, Lf_T)
     _, (mss, Pss) = jax.lax.scan(bstep_cov, (mf_T, Pf_T),
                                  jnp.arange(T - 1), reverse=True,
                                  unroll=unroll)
+    if out_index is not None:
+        v_mean = jnp.concatenate([mss, mf_T[out_index][None]])
+        v_var = jnp.concatenate([Pss, Pf_T[out_index, out_index][None]])
+        return v_mean, v_var, nlls
     mss = jnp.concatenate([mss, mf_T[None]])
     Pss = jnp.concatenate([Pss, Pf_T[None]])
     return mss, Pss, nlls

@@ -115,6 +115,22 @@ def test_tail_cap_freezes_stragglers(capsys):
     assert np.allclose(np.asarray(res.params[:3]), 1.0, atol=1e-4)
 
 
+def test_tail_cap_not_engaged_from_start(capsys):
+    """ADVICE r4 (medium): a batch whose active count STARTS at the tail
+    threshold (e.g. B=1, where tail_thresh=1) must run to max_iters /
+    convergence, not be silently truncated to ~tail_iters iterations --
+    the cap requires at least one lane to have been frozen first."""
+    def fun(p, _):
+        return -0.01 * p[0]           # unbounded: never stalls
+
+    init = jnp.zeros((1, 2))
+    lbfgs_minimize_stepped(fun, init, (jnp.zeros((1,)),), max_iters=25,
+                           tail_frac=0.25, tail_iters=3, verbose=True)
+    out = capsys.readouterr().out
+    assert "tail cap" not in out
+    assert "iter 25" in out           # ran the full budget
+
+
 def test_paired_printer_stats(tmp_path):
     """--paired restricts to both-finite seeds and reports med ratio
     and per-side NaN counts."""
