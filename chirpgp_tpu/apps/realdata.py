@@ -93,7 +93,11 @@ def analyze_bat_call(ys: jnp.ndarray, fs: float, bat: BatCallConfig,
     params = jnp.asarray(bat.params, dtype=ys.dtype)
     run = jax.jit(lambda y: estimate_if(cfg, params, y))
     if time_it:
-        warm = run(ys[:16])
+        # Warm up at the FULL shape: jit specializes on shapes, so a
+        # short-prefix warm-up call would leave the compile inside the
+        # timed region (the reference warms with the same call it then
+        # times, ``myotis_myotis_analysis.py:79-85``).
+        warm = run(ys)
         jax.block_until_ready(warm["if_mean"])
         t0 = time.perf_counter()
         est = run(ys)

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from chirpgp_tpu.infer.common import log_normal_pdf
+from chirpgp_tpu.utils.numerics import psd_solve_batched, solve_small
 
 __all__ = ["kf_parallel", "rts_parallel", "kf_rts_parallel",
            "blocked_scan"]
@@ -119,15 +120,17 @@ def _combine_filter(a: _FilterElement, b: _FilterElement) -> _FilterElement:
     """Associative combination of filtering elements (batched on axis 0)."""
     d = a.A.shape[-1]
     I = jnp.eye(d, dtype=a.A.dtype)
-    # M = (I + C_a J_b)^{-1}; solve against the transposed system to avoid
-    # explicit inverses.
-    M = jnp.linalg.solve(I + a.C @ b.J, jnp.broadcast_to(I, a.C.shape))
+    # M = (I + C_a J_b)^{-1}.  solve_small (unrolled, no pivoting) instead
+    # of jnp.linalg.solve: the general pivoted LU lowering dominates the
+    # whole parallel scan's wall time on TPU (measured r5), and I + C J
+    # with PSD C, J is exactly the well-conditioned case it requires.
+    M = solve_small(I + a.C @ b.J, jnp.broadcast_to(I, a.C.shape))
     AjM = b.A @ M
     A = AjM @ a.A
     bb = (AjM @ (a.b + jnp.einsum("...ij,...j->...i", a.C, b.eta))[..., None]
           )[..., 0] + b.b
     C = AjM @ a.C @ jnp.swapaxes(b.A, -1, -2) + b.C
-    N = jnp.linalg.solve(I + b.J @ a.C, jnp.broadcast_to(I, a.C.shape))
+    N = solve_small(I + b.J @ a.C, jnp.broadcast_to(I, a.C.shape))
     AiTN = jnp.swapaxes(a.A, -1, -2) @ N
     eta = (AiTN @ (b.eta - jnp.einsum("...ij,...j->...i", b.J, a.b))[..., None]
            )[..., 0] + a.eta
@@ -244,8 +247,9 @@ def rts_parallel(F, Sigma, mfs, Pfs,
     Pf = Pfs[:-1]                                  # (T-1, d, d)
     mf = mfs[:-1]
     Pp = jnp.einsum("ij,tjk,lk->til", F, Pf, F) + Sigma
-    # Gain E = Pf F^T Pp^{-1}, solved batched: E^T = Pp^{-1} F Pf.
-    ET = jnp.linalg.solve(Pp, jnp.einsum("ij,tjk->tik", F, Pf))
+    # Gain E = Pf F^T Pp^{-1}, solved batched: E^T = Pp^{-1} F Pf
+    # (unrolled SPD solve -- see solve_small's TPU rationale).
+    ET = psd_solve_batched(Pp, jnp.einsum("ij,tjk->tik", F, Pf))
     E = jnp.swapaxes(ET, -1, -2)
     g = mf - jnp.einsum("tij,jk,tk->ti", E, F, mf)
     L = Pf - E @ Pp @ jnp.swapaxes(E, -1, -2)

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from chirpgp_tpu.infer.common import log_normal_pdf
+from chirpgp_tpu.utils.numerics import psd_solve_batched
 from chirpgp_tpu.infer.parallel_kf import (
     _FilterElement, _combine_filter, _SmootherElement, _combine_smoother,
     blocked_scan, filter_identity, smoother_identity)
@@ -95,7 +96,7 @@ def rts_parallel_tv(Fs, cs, Sigmas, mfs, Pfs,
     Fn = Fs[1:]                                     # transition k -> k+1
     cn = cs[1:]
     Pp = Fn @ Pf @ jnp.swapaxes(Fn, -1, -2) + Sigmas[1:]
-    ET = jnp.linalg.solve(Pp, Fn @ Pf)
+    ET = psd_solve_batched(Pp, Fn @ Pf)
     E = jnp.swapaxes(ET, -1, -2)
     g = mf - jnp.einsum("tij,tj->ti", E,
                         jnp.einsum("tij,tj->ti", Fn, mf) + cn)
@@ -137,7 +138,7 @@ def slr_transitions(trans, sgps: SigmaPoints, dt, ms, Ps, jitter=0.0):
     Pout = jnp.einsum("s,tsi,tsj->tij", w, dev_out, dev_out)
     # F = D^T P^{-1} via batched solve.
     Fs = jnp.swapaxes(
-        jnp.linalg.solve(Ps + jitter * jnp.eye(d, dtype=Ps.dtype), D),
+        psd_solve_batched(Ps + jitter * jnp.eye(d, dtype=Ps.dtype), D),
         -1, -2)
     cs = mp - jnp.einsum("tij,tj->ti", Fs, ms)
     resid = Pout - Fs @ D

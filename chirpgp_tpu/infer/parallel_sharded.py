@@ -25,6 +25,7 @@ from chirpgp_tpu.infer.parallel_kf import (
     _FilterElement, _combine_filter, _SmootherElement, _combine_smoother,
     _filter_elements, blocked_scan, filter_identity, smoother_identity)
 from chirpgp_tpu.infer.common import log_normal_pdf
+from chirpgp_tpu.utils.numerics import psd_solve_batched
 
 __all__ = ["kf_parallel_time_sharded", "rts_parallel_time_sharded"]
 
@@ -166,7 +167,7 @@ def rts_parallel_time_sharded(F, Sigma, mfs, Pfs, mesh,
     Pf = Pfs[:-1]
     mf = mfs[:-1]
     Pp = jnp.einsum("ij,tjk,lk->til", F, Pf, F) + Sigma
-    ET = jnp.linalg.solve(Pp, jnp.einsum("ij,tjk->tik", F, Pf))
+    ET = psd_solve_batched(Pp, jnp.einsum("ij,tjk->tik", F, Pf))
     E = jnp.swapaxes(ET, -1, -2)
     g = mf - jnp.einsum("tij,jk,tk->ti", E, F, mf)
     L = Pf - E @ Pp @ jnp.swapaxes(E, -1, -2)

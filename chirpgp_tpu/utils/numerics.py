@@ -2,7 +2,8 @@
 
 import jax.numpy as jnp
 
-__all__ = ["phi1", "ou_variance", "psd_cholesky", "psd_solve"]
+__all__ = ["phi1", "ou_variance", "psd_cholesky", "psd_solve",
+           "solve_small", "psd_solve_batched"]
 
 
 def phi1(x: jnp.ndarray) -> jnp.ndarray:
@@ -104,3 +105,78 @@ def psd_solve(P, B, eps: float = 1e-30):
         X[j] = acc * inv[j]
     out = jnp.stack(X, axis=0)
     return out[:, 0] if vec else out
+
+
+def solve_small(A, B):
+    """Batched solve ``A X = B`` for SMALL static ``d`` by unrolled
+    Gaussian elimination without pivoting.
+
+    ``A``: (..., d, d); ``B``: (..., d, k); batched over the leading
+    axes.  ``jnp.linalg.solve`` on TPU lowers tiny batched systems to a
+    general pivoted LU routine that runs ~three orders of magnitude
+    below the VPU's throughput (measured r5: the associative-scan
+    KF/RTS spent its entire 0.03x-of-sequential wall time inside the
+    per-combine solves); this unrolled form is pure elementwise
+    arithmetic on the batch lanes.
+
+    No pivoting: intended for the well-conditioned systems of the
+    parallel-scan combines -- ``I + C J`` with ``C``, ``J`` PSD (all
+    eigenvalues >= 1 in exact arithmetic) and SPD covariance solves,
+    where the leading principal minors stay positive.  Do not use on
+    general indefinite matrices.
+    """
+    d = A.shape[-1]
+    k = B.shape[-1]
+    # Work on unstacked scalar lanes: M[i][j] are (...,) arrays.
+    M = [[A[..., i, j] for j in range(d)] for i in range(d)]
+    X = [[B[..., i, j] for j in range(k)] for i in range(d)]
+    for i in range(d):
+        inv = 1.0 / M[i][i]
+        for j in range(i + 1, d):
+            M[i][j] = M[i][j] * inv
+        for j in range(k):
+            X[i][j] = X[i][j] * inv
+        for r in range(i + 1, d):
+            f = M[r][i]
+            for j in range(i + 1, d):
+                M[r][j] = M[r][j] - f * M[i][j]
+            for j in range(k):
+                X[r][j] = X[r][j] - f * X[i][j]
+    for i in range(d - 2, -1, -1):
+        for r in range(i + 1, d):
+            f = M[i][r]
+            for j in range(k):
+                X[i][j] = X[i][j] - f * X[r][j]
+    return jnp.stack([jnp.stack(row, axis=-1) for row in X], axis=-2)
+
+
+def psd_solve_batched(P, B, eps: float = 1e-30):
+    """Batched solve ``P X = B`` for SPD/PSD ``P`` with small static d.
+
+    ``P``: (..., d, d); ``B``: (..., d, k).  Unrolled Cholesky
+    (:func:`psd_cholesky`, degenerate-safe) + unrolled substitutions --
+    the batched-leading-axes counterpart of :func:`psd_solve`, for the
+    same TPU reason as :func:`solve_small` (avoid the slow general LU
+    lowering of ``jnp.linalg.solve`` on tiny batched systems).
+    """
+    L = psd_cholesky(P, eps)
+    d = P.shape[-1]
+    k = B.shape[-1]
+    diag = [L[..., j, j] for j in range(d)]
+    inv = [jnp.where(diag[j] > 0,
+                     1.0 / jnp.where(diag[j] > 0, diag[j], 1.0), 0.0)
+           for j in range(d)]
+    Bl = [[B[..., i, j] for j in range(k)] for i in range(d)]
+    Y = [None] * d
+    for j in range(d):
+        acc = Bl[j]
+        for kk in range(j):
+            acc = [a - L[..., j, kk] * y for a, y in zip(acc, Y[kk])]
+        Y[j] = [a * inv[j] for a in acc]
+    X = [None] * d
+    for j in range(d - 1, -1, -1):
+        acc = Y[j]
+        for kk in range(j + 1, d):
+            acc = [a - L[..., kk, j] * x for a, x in zip(acc, X[kk])]
+        X[j] = [a * inv[j] for a in acc]
+    return jnp.stack([jnp.stack(row, axis=-1) for row in X], axis=-2)

@@ -7,6 +7,12 @@
 # so a timeout that fires mid-polish forfeits the polish work (r4
 # postmortem; do not lower below ~7200s for the harmonic d=8 columns).
 #
+# Each column's result .npz files are committed AS SOON AS the column
+# completes (VERDICT r4 weak #5: a round boundary stranded regenerated
+# cd_ekfs results in the working tree, and the queued cd_ghfs regen was
+# cut off with nothing recorded).  The commit is retried briefly in case
+# another process holds the index lock.
+#
 #   bash experiments/supervise_columns.sh harmonic_ekfs harmonic_ckfs
 #   bash experiments/supervise_columns.sh cd_ekfs cd_ghfs
 cd "$(dirname "$0")/.."
@@ -20,7 +26,17 @@ for m in "$@"; do
       --methods "$m" --data-dir results/data --out results >> "$LOG" 2>&1
     rc=$?
     echo "=== $m attempt $attempt rc=$rc $(date -u +%H:%M:%S) ===" >> "$LOG"
-    if [ $rc -eq 0 ]; then break; fi
+    if [ $rc -eq 0 ]; then
+      for try in 1 2 3 4 5; do
+        if git add results/${m}_*.npz \
+            && git commit -q -m "Table-I column regenerated: $m (supervisor auto-commit)"; then
+          echo "=== $m committed $(date -u +%H:%M:%S) ===" >> "$LOG"
+          break
+        fi
+        sleep 20
+      done
+      break
+    fi
     sleep 90   # let the tunneled worker recover after a kill
   done
 done
