@@ -55,3 +55,39 @@ def test_env_override_respected():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert out.returncode == 0, out.stderr
     assert out.stdout.strip().splitlines()[-1] == "highest", out.stdout
+
+
+def test_solve_small_matches_linalg():
+    """Unrolled no-pivot GE == jnp.linalg.solve on the well-conditioned
+    batched systems it is specified for (I + PSD@PSD combines)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from chirpgp_tpu.utils.numerics import solve_small
+
+    rng = np.random.default_rng(0)
+    for d in (2, 3, 4, 6):
+        M = rng.standard_normal((7, d, d))
+        C = M @ np.swapaxes(M, -1, -2)          # PSD
+        N = rng.standard_normal((7, d, d))
+        J = N @ np.swapaxes(N, -1, -2)          # PSD
+        A = np.eye(d) + C @ J
+        B = rng.standard_normal((7, d, d))
+        X = solve_small(jnp.asarray(A), jnp.asarray(B))
+        X_ref = np.linalg.solve(A, B)
+        np.testing.assert_allclose(np.asarray(X), X_ref,
+                                   rtol=1e-9, atol=1e-9)
+
+
+def test_psd_solve_batched_matches_linalg():
+    import numpy as np
+    import jax.numpy as jnp
+    from chirpgp_tpu.utils.numerics import psd_solve_batched
+
+    rng = np.random.default_rng(1)
+    for d in (2, 4, 10):
+        M = rng.standard_normal((5, d, d))
+        P = M @ np.swapaxes(M, -1, -2) + 0.1 * np.eye(d)
+        B = rng.standard_normal((5, d, 3))
+        X = psd_solve_batched(jnp.asarray(P), jnp.asarray(B))
+        np.testing.assert_allclose(np.asarray(X), np.linalg.solve(P, B),
+                                   rtol=1e-8, atol=1e-9)
