@@ -154,7 +154,8 @@ def slr_transitions(trans, sgps: SigmaPoints, dt, ms, Ps, jitter=0.0):
 
 
 def psgp_filter_smoother(cond_m_cov, sgps: SigmaPoints, H, Xi, m0, P0, dt,
-                         ys, num_iters: int = 8, block_size=None):
+                         ys, num_iters: int = 8, block_size=None,
+                         init_nominal=None):
     """Iterated parallel sigma-point filter + smoother.
 
     Each iteration: (1) SLR of the transition about the current posterior
@@ -162,6 +163,17 @@ def psgp_filter_smoother(cond_m_cov, sgps: SigmaPoints, H, Xi, m0, P0, dt,
     the resulting affine SSM (associative scans, O(log T) depth).  The
     nominal starts at the prior and converges to the iterated posterior
     linearization fixed point.
+
+    ``init_nominal``: optional ``(ms, Ps)`` with shapes (T, d)/(T, d, d)
+    -- a data-informed warm start for the first SLR (e.g. one sequential
+    filter-smoother pass, or the previous record's posterior).  On
+    strongly nonlinear configs a prior nominal can diverge in the first
+    iteration (measured: the bats d=10 / freq_scale=1e4 record,
+    ``results/longrecord_timing.md``); warm-starting is the standard fix
+    in the iterated-smoother literature (posterior-linearization
+    smoothers, Garcia-Fernandez et al.; PAPERS.md).  Entry k is the
+    linearization Gaussian for the transition INTO step k, i.e. the
+    posterior at step k-1 (same alignment as the internal iteration).
 
     Returns ``(mfs, Pfs, nll, mss, Pss)``.
     """
@@ -172,8 +184,13 @@ def psgp_filter_smoother(cond_m_cov, sgps: SigmaPoints, H, Xi, m0, P0, dt,
     # Initial nominal: prior moments, broadcast along time.  The nominal
     # for transition k is the posterior at k-1; index alignment uses the
     # smoothed trajectory shifted right by one.
-    ms_nom = jnp.broadcast_to(m0, (T, d))
-    Ps_nom = jnp.broadcast_to(P0, (T, d, d))
+    if init_nominal is not None:
+        ms_nom, Ps_nom = init_nominal
+        ms_nom = jnp.asarray(ms_nom, m0.dtype)
+        Ps_nom = jnp.asarray(Ps_nom, m0.dtype)
+    else:
+        ms_nom = jnp.broadcast_to(m0, (T, d))
+        Ps_nom = jnp.broadcast_to(P0, (T, d, d))
 
     def one_iter(carry, _):
         ms_nom, Ps_nom = carry

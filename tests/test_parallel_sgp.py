@@ -137,3 +137,35 @@ def test_psgp_chirp_accuracy_vs_sequential():
     # Smoothed V-means should agree closely between the two algorithms.
     npt.assert_allclose(np.asarray(mss_par[:, 2]),
                         np.asarray(mss_seq[:, 2]), atol=0.3)
+
+
+@pytest.mark.slow
+def test_psgp_warm_start_nominal():
+    """A data-informed warm-start nominal (one sequential pass) lets a
+    SINGLE psgp iteration land near the sequential smoother -- the
+    standard fix for first-iteration divergence from a prior nominal on
+    strongly nonlinear configs (results/longrecord_timing.md)."""
+    dt, T_, Xi = 1e-3, 600, 0.1
+    ts = jnp.linspace(dt, dt * T_, T_)
+    freq_func, phase_func = meow_freq(offset=8.0)
+    ys = gen_chirp(ts, constant_mag(1.0), phase_func) \
+        + math.sqrt(Xi) * jax.random.normal(jax.random.PRNGKey(7), (T_,))
+
+    params = g(g_inv(jnp.array([0.1, 0.1, 0.1, 1.0, 1.0, 7.0])))
+    pack = build_chirp_model(params)
+    rule = gauss_hermite(4, order=3)
+
+    mfs, Pfs, _ = sgp_filter(pack.m_and_cov, rule, pack.H, Xi,
+                             pack.m0, pack.P0, dt, ys)
+    mss_seq, Pss_seq = sgp_smoother(pack.m_and_cov, rule, mfs, Pfs, dt)
+
+    nominal = (jnp.concatenate([pack.m0[None], mss_seq[:-1]]),
+               jnp.concatenate([pack.P0[None], Pss_seq[:-1]]))
+    out = psgp_filter_smoother(pack.m_and_cov, rule, pack.H, Xi,
+                               pack.m0, pack.P0, dt, ys, num_iters=1,
+                               init_nominal=nominal)
+    _, _, _, mss_warm, _ = out
+    # One warm-started iteration stays close to the sequential smoother
+    # (posterior linearization about the sequential posterior).
+    npt.assert_allclose(np.asarray(mss_warm[:, 2]),
+                        np.asarray(mss_seq[:, 2]), atol=0.15)
