@@ -375,12 +375,13 @@ def sqrt_sgp_filter_smoother_batched(cond_m_cov, sgps: SigmaPoints, H, Xi,
                                                   unroll=unroll)
 
     # The maps emitted at iteration t smooth time t-1 given time t, so
-    # backward element k uses row k+1; rows are read with
-    # dynamic_index_in_dim inside the body (top-level slicing of the
-    # stacked output triggers the same lane-padded relayout).
-    def bstep_cov(carry, k):
+    # backward element k uses row k+1: the packed rows [1:] feed the
+    # reverse scan directly as xs (native leading-axis slicing -- only
+    # ONE row is needed per step in this branch, unlike the factor
+    # branch above, which pairs rows k and k+1 and therefore gathers
+    # with dynamic_index_in_dim).
+    def bstep_cov(carry, row):
         ms, Ps = carry
-        row = jax.lax.dynamic_index_in_dim(packs, k + 1, 0, keepdims=False)
         u = row[:d]
         G = row[d:d + d * d].reshape(d, d, B)
         D = row[d + d * d:].reshape(d, d, B)
@@ -393,7 +394,7 @@ def sqrt_sgp_filter_smoother_batched(cond_m_cov, sgps: SigmaPoints, H, Xi,
 
     Pf_T = jnp.einsum("ikb,jkb->ijb", Lf_T, Lf_T)
     _, (mss, Pss) = jax.lax.scan(bstep_cov, (mf_T, Pf_T),
-                                 jnp.arange(T - 1), reverse=True,
+                                 packs[1:], reverse=True,
                                  unroll=unroll)
     if out_index is not None:
         v_mean = jnp.concatenate([mss, mf_T[out_index][None]])
