@@ -127,6 +127,19 @@ def solve_small(A, B):
     """
     d = A.shape[-1]
     k = B.shape[-1]
+    if d == 2:
+        # Closed-form adjugate: 2x2 is by far the hottest case (M32
+        # filtering elements), and the tiny expression keeps the HLO
+        # small inside scan bodies (the unrolled-GE form's op count,
+        # multiplied through the blocked-scan structure at T=25000,
+        # produced a program the remote TPU compiler hung on).
+        a, b = A[..., 0, 0], A[..., 0, 1]
+        c, e = A[..., 1, 0], A[..., 1, 1]
+        det = a * e - b * c
+        inv_det = 1.0 / det
+        r0 = (e[..., None] * B[..., 0, :] - b[..., None] * B[..., 1, :])
+        r1 = (-c[..., None] * B[..., 0, :] + a[..., None] * B[..., 1, :])
+        return jnp.stack([r0, r1], axis=-2) * inv_det[..., None, None]
     # Work on unstacked scalar lanes: M[i][j] are (...,) arrays.
     M = [[A[..., i, j] for j in range(d)] for i in range(d)]
     X = [[B[..., i, j] for j in range(k)] for i in range(d)]
